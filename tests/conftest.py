@@ -1,0 +1,21 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests must run without TPU hardware; multi-chip sharding tests use
+xla_force_host_platform_device_count to emulate an 8-device mesh.
+This must run before the first `import jax` anywhere in the test session.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flag = "--xla_force_host_platform_device_count=8"
+_existing = os.environ.get("XLA_FLAGS", "")
+if _flag not in _existing:
+    os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,84 @@
+"""Wav and PCM codec utilities (reference: common/data_utils.py:13-47).
+
+Stdlib-`wave`-based (librosa/wavio are not required): 16-bit PCM read/write,
+mono mixdown, polyphase resampling to the configured rate.
+"""
+from __future__ import annotations
+
+import wave
+
+import numpy as np
+
+from ..params import pr
+
+INT16_SCALE = float(np.iinfo(np.int16).max + 1)  # 32768, matches data_utils.py:21
+
+
+def buffer_to_audio(buffer: bytes) -> np.ndarray:
+    """Raw mono 16-bit LE PCM bytes -> float32 array in [-1, 1)."""
+    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    return np.frombuffer(buffer, dtype="<i2").astype(np.float32) / INT16_SCALE
+
+
+def audio_to_buffer(audio: np.ndarray) -> bytes:
+    """float audio -> raw mono 16-bit LE PCM bytes (inverse of buffer_to_audio)."""
+    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    return (np.asarray(audio) * INT16_SCALE).astype("<i2").tobytes()
+
+
+def save_audio(filename: str, audio: np.ndarray, sample_rate: int | None = None):
+    """Save float audio to a 16-bit PCM wav (data_utils.py:37-47)."""
+    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    rate = sample_rate or pr.sample_rate
+    pcm = (np.clip(np.asarray(audio), -1.0, 1.0) * np.iinfo(np.int16).max).astype(
+        "<i2"
+    )
+    with wave.open(filename, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+
+
+def load_wav(path: str, sample_rate: int | None = None, mono: bool = True) -> np.ndarray:
+    """Load a wav file as float32 in [-1, 1), resampled to `sample_rate`.
+
+    Replaces librosa.load in get_mfcc_feature (data_utils.py:89-97): mono
+    mixdown by channel average, polyphase resampling when rates differ.
+    Supports 8/16/32-bit integer PCM.
+    """
+    target_rate = sample_rate or pr.sample_rate
+    with wave.open(path, "rb") as wf:
+        n_channels = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / INT16_SCALE
+    elif sampwidth == 1:  # 8-bit wav is unsigned
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(2 ** 31)
+    else:
+        raise ValueError(f"unsupported wav sample width: {sampwidth}")
+
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels)
+        data = data.mean(axis=1) if mono else data
+
+    if rate != target_rate:
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(target_rate, rate)
+        data = resample_poly(data, target_rate // g, rate // g, axis=0).astype(
+            np.float32
+        )
+    return data
+
+
+def wav_duration_samples(path: str) -> tuple[int, int]:
+    """(n_frames, sample_rate) without decoding the payload."""
+    with wave.open(path, "rb") as wf:
+        return wf.getnframes(), wf.getframerate()

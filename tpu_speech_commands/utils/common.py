@@ -1,0 +1,17 @@
+"""Miscellaneous utilities (reference: common/utils.py:45-50)."""
+from __future__ import annotations
+
+
+def get_classes(classes_path: str) -> list[str]:
+    """Load class names, one per line."""
+    with open(classes_path) as f:
+        class_names = [c.strip() for c in f.readlines()]
+    return [c for c in class_names if c]
+
+
+def ensure_background_first(class_names: list[str]) -> None:
+    """Every entry point asserts the first class is 'background'
+    (reference train.py:26, eval.py:285, listen.py:66)."""
+    assert class_names and class_names[0] == "background", (
+        "1st class should be background."
+    )
