@@ -12,6 +12,12 @@ _existing = os.environ.get("XLA_FLAGS", "")
 if _flag not in _existing:
     os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
 
+# The axon TPU plugin overrides JAX_PLATFORMS; the config knob wins.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,198 @@
+"""Dataset pipeline (reference: classifier/data.py:15-120).
+
+Layout contract is identical to the reference:
+
+    <dataset>/sounds/<class_name>/*.wav        raw audio
+    <dataset>/features/<class_name>/*.npy      per-sample feature cache
+
+but the hot loop changes shape: instead of per-wav CPU DSP
+(`data.py:30-46`), wav decode happens on the host into fixed-length int16
+buffers and the feature transform runs **batched on device** through the
+jnp frontend (`frontend.dsp.Frontend`).  The legacy per-sample `.npy`
+feature cache is still supported (read and write) for drop-in compatibility
+with datasets prepared by the reference tooling.
+
+An additional packed cache (`features.npz`, one array per class) amortises
+file-system overhead for large datasets.
+"""
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from glob import glob
+
+import numpy as np
+
+from ..params import pr
+from .wav import load_wav
+
+
+@dataclass
+class Dataset:
+    """In-memory dataset: x features, y integer labels."""
+
+    x: np.ndarray  # (N, n_features, feature_size) float32
+    y: np.ndarray  # (N,) int32
+
+    def __len__(self):
+        return len(self.x)
+
+
+def get_sample_list(dataset_path: str, class_names: list[str]) -> dict[str, list[str]]:
+    """Scan <dataset>/sounds/<class>/*.wav; error on a missing class dir
+    (data.py:15-27)."""
+    sound_root = os.path.join(dataset_path, "sounds")
+    samples = {}
+    for class_name in class_names:
+        class_dir = os.path.join(sound_root, class_name)
+        if not os.path.isdir(class_dir):
+            raise ValueError(f"class dir {class_dir} does not exist")
+        samples[class_name] = sorted(glob(os.path.join(class_dir, "*.wav")))
+    return samples
+
+
+def load_audio_batch(wav_paths: list[str], params=None) -> np.ndarray:
+    """Decode wavs into a fixed-length float32 batch (N, max_samples),
+    left-zero-padded / tail-truncated (data_utils.py:73-80 semantics)."""
+    p = params or pr
+    out = np.zeros((len(wav_paths), p.max_samples), dtype=np.float32)
+    for i, path in enumerate(wav_paths):
+        audio = load_wav(path, p.sample_rate)[: p.max_samples]
+        out[i, p.max_samples - len(audio) :] = audio
+    return out
+
+
+def extract_features_batched(
+    wav_paths: list[str],
+    frontend,
+    batch_size: int = 512,
+    params=None,
+) -> np.ndarray:
+    """Device-batched feature extraction for a list of wavs.
+
+    `frontend` is a jit-compatible callable (B, max_samples) -> (B, T, F)
+    — the TPU replacement for the reference CPU hot loop (data.py:30-46).
+    The last batch is padded to `batch_size` to avoid a recompile.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = params or pr
+    fn = jax.jit(lambda a: frontend(a))
+    feats = []
+    for start in range(0, len(wav_paths), batch_size):
+        chunk = wav_paths[start : start + batch_size]
+        audio = load_audio_batch(chunk, p)
+        if len(chunk) < batch_size:
+            audio = np.concatenate(
+                [audio, np.zeros((batch_size - len(chunk), p.max_samples), np.float32)]
+            )
+        out = np.asarray(fn(jnp.asarray(audio)))[: len(chunk)]
+        feats.append(out.astype(np.float32))
+    return np.concatenate(feats) if feats else np.zeros((0, 0, 0), np.float32)
+
+
+def save_features_npy(
+    dataset_path: str, class_name: str, features: np.ndarray
+) -> None:
+    """Write the reference-compatible per-sample .npy cache (data.py:49-68)."""
+    feat_dir = os.path.join(dataset_path, "features", class_name)
+    os.makedirs(feat_dir, exist_ok=True)
+    for feat in features:
+        np.save(os.path.join(feat_dir, f"{uuid.uuid4()}.npy"), feat)
+
+
+def _load_cached_class(feat_dir: str) -> np.ndarray:
+    files = sorted(glob(os.path.join(feat_dir, "*.npy")))
+    return np.stack([np.load(f) for f in files]) if files else None
+
+
+def get_dataset(
+    dataset_path: str,
+    class_names: list[str],
+    val_split: float | None = None,
+    frontend=None,
+    batch_size: int = 512,
+    use_cache: bool = True,
+    seed: int = 0,
+    params=None,
+):
+    """Load (or build) the feature dataset (data.py:80-120).
+
+    Returns Dataset, or (train_ds, val_ds) when val_split is given.
+    Labels are class indices in `class_names` order; the `features/` dir
+    short-circuits re-extraction exactly like the reference cache.
+    """
+    p = params or pr
+    feature_root = os.path.join(dataset_path, "features")
+    xs, ys = [], []
+
+    if use_cache and os.path.isdir(feature_root):
+        for idx, class_name in enumerate(class_names):
+            feats = _load_cached_class(os.path.join(feature_root, class_name.lower()))
+            if feats is None:
+                feats = _load_cached_class(os.path.join(feature_root, class_name))
+            if feats is None:
+                raise ValueError(f"no cached features for class {class_name}")
+            xs.append(np.squeeze(feats, axis=-1) if feats.ndim == 4 else feats)
+            ys.append(np.full(len(feats), idx, np.int32))
+    else:
+        if frontend is None:
+            from ..frontend import Frontend
+
+            frontend = Frontend(p)
+        samples = get_sample_list(dataset_path, class_names)
+        for idx, class_name in enumerate(class_names):
+            paths = samples[class_name]
+            if not paths:
+                continue
+            feats = extract_features_batched(paths, frontend, batch_size, p)
+            xs.append(feats)
+            ys.append(np.full(len(feats), idx, np.int32))
+            if use_cache:
+                save_features_npy(dataset_path, class_name, feats)
+
+    x = np.concatenate(xs).astype(np.float32)
+    y = np.concatenate(ys).astype(np.int32)
+
+    if val_split is None:
+        return Dataset(x, y)
+
+    # shuffled split (reference uses sklearn train_test_split, data.py:71-77)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(x))
+    n_val = int(round(len(x) * val_split))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    return Dataset(x[train_idx], y[train_idx]), Dataset(x[val_idx], y[val_idx])
+
+
+def batch_iterator(
+    ds: Dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = False,
+    pad_final: bool = True,
+):
+    """Yield (x, y, valid_count) host batches.
+
+    The final short batch is zero-padded to `batch_size` (with valid_count
+    marking real rows) so jitted steps see one static shape — no recompiles.
+    """
+    n = len(ds)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        x, y = ds.x[idx], ds.y[idx]
+        valid = len(idx)
+        if valid < batch_size:
+            if drop_remainder:
+                return
+            if pad_final:
+                pad = batch_size - valid
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                y = np.concatenate([y, np.zeros(pad, y.dtype)])
+        yield x, y, valid

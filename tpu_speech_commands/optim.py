@@ -1,0 +1,80 @@
+"""Optimizers and LR schedules (reference: common/model_utils.py:17-100).
+
+optax equivalents with Keras-default hyperparameters:
+- schedules: constant | cosine (alpha=0.2 floor) | exponential (rate 0.9) |
+  polynomial (end lr/100, power 1) | piecewise_constant (warmup at 1e-3 for
+  500 steps, then lr, lr/10 after 90%, lr/100 after 100%)
+- optimizers: adam | rmsprop (rho .9) | sgd, all with Keras epsilon=1e-7
+- weight averaging: ema | swa | lookahead (reference plumbs these via
+  tensorflow-addons but invokes with None; lookahead maps to
+  optax.lookahead, ema/swa are tracked as parameter averages by the trainer)
+"""
+from __future__ import annotations
+
+import optax
+
+DECAY_TYPES = (None, "cosine", "exponential", "polynomial", "piecewise_constant")
+OPTIMIZER_TYPES = ("adam", "rmsprop", "sgd")
+
+
+def get_lr_scheduler(learning_rate: float, decay_type: str | None, decay_steps: int):
+    """Build an optax schedule (model_utils.py:17-37 semantics)."""
+    if decay_type:
+        decay_type = decay_type.lower()
+    if decay_type in (None, "none", ""):
+        return optax.constant_schedule(learning_rate)
+    if decay_type == "cosine":
+        # final LR floor = 0.2 * learning_rate, like keras CosineDecay(alpha=0.2)
+        return optax.cosine_decay_schedule(
+            init_value=learning_rate, decay_steps=decay_steps, alpha=0.2
+        )
+    if decay_type == "exponential":
+        return optax.exponential_decay(
+            init_value=learning_rate,
+            transition_steps=decay_steps,
+            decay_rate=0.9,
+            staircase=False,
+        )
+    if decay_type == "polynomial":
+        return optax.polynomial_schedule(
+            init_value=learning_rate,
+            end_value=learning_rate / 100.0,
+            power=1.0,
+            transition_steps=decay_steps,
+        )
+    if decay_type == "piecewise_constant":
+        # warmup stage boundaries [500, 0.9*steps, steps] with values
+        # [1e-3, lr, lr/10, lr/100] (model_utils.py:31-34)
+        boundaries = [500, int(decay_steps * 0.9), decay_steps]
+        values = [1e-3, learning_rate, learning_rate / 10.0, learning_rate / 100.0]
+        schedules = [optax.constant_schedule(v) for v in values]
+        return optax.join_schedules(schedules, boundaries)
+    raise ValueError("Unsupported lr decay type")
+
+
+def get_optimizer(
+    optim_type: str,
+    learning_rate: float,
+    average_type: str | None = None,
+    decay_type: str | None = "cosine",
+    decay_steps: int = 100000,
+) -> optax.GradientTransformation:
+    """Build the optax optimizer chain (model_utils.py:40-58)."""
+    optim_type = optim_type.lower()
+    lr = get_lr_scheduler(learning_rate, decay_type, decay_steps)
+
+    if optim_type == "adam":
+        tx = optax.adam(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-7)
+    elif optim_type == "rmsprop":
+        tx = optax.rmsprop(
+            learning_rate=lr, decay=0.9, eps=1e-7, momentum=0.0, centered=False
+        )
+    elif optim_type == "sgd":
+        tx = optax.sgd(learning_rate=lr, momentum=0.0, nesterov=False)
+    else:
+        raise ValueError("Unsupported optimizer type")
+
+    if average_type and average_type.lower() == "lookahead":
+        # tfa.Lookahead(sync_period=6, slow_step_size=0.5) equivalent
+        tx = optax.lookahead(tx, sync_period=6, slow_step_size=0.5)
+    return tx

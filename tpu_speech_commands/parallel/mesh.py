@@ -1,0 +1,90 @@
+"""Device mesh construction — the framework's "distributed backend".
+
+The reference has no parallelism of any kind (SURVEY.md §2.9); on TPU the
+communication layer *is* XLA collectives emitted by jit over a
+`jax.sharding.Mesh`.  This module owns mesh construction and the sharding
+rules; there is no custom transport to write — collectives ride ICI within
+a slice (and DCN across slices) automatically once shardings are declared.
+
+Axes:
+- 'data'  — batch-parallel axis (gradients all-reduced by XLA psum)
+- 'model' — tensor-parallel axis for the dense layers (demonstrated in the
+  dry-run path; the production models are small enough that data parallel
+  is the perf-optimal layout, so model=1 is the default)
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Default: all devices on the data axis.  jax.make_mesh picks a
+    device order that keeps collectives on ICI neighbours.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+    )
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(path: tuple[str, ...], leaf) -> P:
+    """Tensor-parallel partition rule for model parameters.
+
+    The hidden 'feature_dense' projection is column-sharded and the
+    'score_predict' head row-sharded over 'model' (a megatron-style pair:
+    the activation stays sharded between them and XLA inserts the psum at
+    the head output).  Everything else — convs, BN, RNN cells — is
+    replicated: at these layer sizes replication is both the fastest and
+    the memory-cheapest layout.
+    """
+    names = [getattr(k, "key", str(k)) for k in path]
+    if "feature_dense" in names and names[-1] == "kernel":
+        return P(None, MODEL_AXIS)
+    if "feature_dense" in names and names[-1] == "bias":
+        return P(MODEL_AXIS)
+    if "score_predict" in names and names[-1] == "kernel":
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def state_sharding(tree, mesh: Mesh, with_model_parallel: bool = True):
+    """NamedSharding pytree for a train state / variables pytree."""
+
+    def to_sharding(path, leaf):
+        if with_model_parallel and mesh.shape.get(MODEL_AXIS, 1) > 1:
+            spec = param_spec(path, leaf)
+            # only shard dims that divide evenly; fall back to replication
+            arr_shape = getattr(leaf, "shape", ())
+            ok = True
+            for dim, axis in zip(arr_shape, spec):
+                if axis is not None and dim % mesh.shape[axis] != 0:
+                    ok = False
+            if ok and len(spec) <= len(arr_shape):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(to_sharding, tree)
