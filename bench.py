@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark: feature-extraction + inference windows/sec/chip.
+
+Measures the fused MFCC-frontend + simple_cnn forward on device-resident
+1-second audio windows — the TPU equivalent of the reference's single-stream
+C++ path (feature 3.051 ms + invoke 2.216 ms => ~190 windows/sec/core,
+/root/reference/inference/README.md:170-171; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
+
+
+def bench(batch_size: int = 4096, iters: int = 30, warmup: int = 5,
+          model_type: str = "simple_cnn") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.models import features_to_input, init_model, score_fn
+    from tpu_speech_commands.params import pr
+
+    frontend = Frontend(pr)
+    model, variables = init_model(
+        model_type, 5, jax.random.PRNGKey(0), batch_size=2
+    )
+
+    @jax.jit
+    def forward(variables, audio):
+        feats = frontend(audio)
+        x = features_to_input(feats, model_type)
+        return score_fn(model.apply(variables, x, train=False))
+
+    rng = np.random.default_rng(0)
+    audio = jax.device_put(
+        jnp.asarray(
+            rng.standard_normal((batch_size, pr.max_samples)).astype(np.float32)
+        )
+    )
+    variables = jax.device_put(variables)
+
+    for _ in range(warmup):
+        forward(variables, audio).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, audio)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    best = 0.0
+    for batch in (2048, 4096, 8192):
+        try:
+            wps = bench(batch_size=batch)
+        except Exception:
+            continue
+        best = max(best, wps)
+    print(
+        json.dumps(
+            {
+                "metric": "feature+inference windows/sec/chip (simple_cnn, MFCC)",
+                "value": round(best, 1),
+                "unit": "windows/s",
+                "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

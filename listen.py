@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Streaming speech-commands demo: microphone or wav-file replay.
+
+CLI-compatible with the reference (`listen.py:562-627`).  Native .npz
+models run the fused chunk->scores step on TPU; --dump_model re-saves a
+loaded model to a new checkpoint file.
+"""
+import argparse
+import sys
+
+from tpu_speech_commands.streaming import Listener
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--classes_path", type=str, required=True)
+    parser.add_argument("--params_path", type=str, default=None)
+    parser.add_argument("--chunk_size", type=int, default=1024,
+                        help="audio samples between inference")
+    parser.add_argument("--sensitivity", type=float, default=0.5)
+    parser.add_argument("--trigger_level", type=int, default=3)
+    parser.add_argument("--save_dir", type=str, default=None,
+                        help="folder to save false positives")
+    parser.add_argument("--input_wav", type=str, default=None)
+    parser.add_argument("--feature_type", type=str, default="mfcc",
+                        choices=["mfcc", "bark"])
+    parser.add_argument("--dump_model", default=False, action="store_true",
+                        help="dump training model to inference checkpoint")
+    parser.add_argument("--output_model_file", type=str, default=None)
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
+    kwargs = {k: v for k, v in vars(args).items()
+              if k not in ("dump_model", "output_model_file")}
+    listener = Listener(**kwargs)
+
+    if args.dump_model:
+        if not args.output_model_file:
+            raise ValueError("output model file is not specified")
+        print("Dumping out training model to inference model")
+        from tpu_speech_commands.training.checkpoints import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        variables, meta = load_checkpoint(args.model_path)
+        save_checkpoint(args.output_model_file, variables, meta)
+        sys.exit()
+
+    listener.run()
+
+
+if __name__ == "__main__":
+    main()

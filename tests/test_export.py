@@ -1,0 +1,61 @@
+"""Export parity tests: native vs SavedModel vs TFLite scores.
+
+Mirrors the reference's conversion-parity practice (same features through
+every exported format must give the same class scores — eval.py across
+formats, SURVEY.md §4)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+tf = pytest.importorskip("tensorflow")
+
+from tpu_speech_commands.export.inference_loader import load_inference_model
+from tpu_speech_commands.export.saved_model import export_saved_model, export_tflite
+from tpu_speech_commands.optim import get_optimizer
+from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+CLASSES = ["background", "left", "right"]
+
+
+def _make_checkpoint(tmp_path, model_type):
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state(model_type, len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    path = str(tmp_path / f"{model_type}.npz")
+    save_checkpoint(path, state, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES,
+    })
+    return path
+
+
+@pytest.mark.parametrize("model_type", ["simple_cnn_lite", "simple_gru"])
+def test_export_parity(model_type, tmp_path):
+    ckpt = _make_checkpoint(tmp_path, model_type)
+    native, fmt = load_inference_model(ckpt)
+    assert fmt == "NATIVE"
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((4, 30, 20)).astype(np.float32)
+    ref_scores = native(feats)
+    np.testing.assert_allclose(ref_scores.sum(-1), 1.0, rtol=1e-5)
+
+    # SavedModel
+    sm_dir = str(tmp_path / "saved_model")
+    export_saved_model(ckpt, sm_dir)
+    sm_predict, sm_fmt = load_inference_model(sm_dir)
+    assert sm_fmt == "SAVED_MODEL"
+    np.testing.assert_allclose(sm_predict(feats), ref_scores, rtol=1e-4, atol=1e-5)
+    # sidecars for the on-device apps
+    assert os.path.exists(os.path.join(sm_dir, "params.json"))
+    assert os.path.exists(os.path.join(sm_dir, "classes.txt"))
+
+    # TFLite
+    tfl_path = str(tmp_path / "model.tflite")
+    export_tflite(ckpt, tfl_path)
+    tfl_predict, tfl_fmt = load_inference_model(tfl_path)
+    assert tfl_fmt == "TFLITE"
+    np.testing.assert_allclose(tfl_predict(feats), ref_scores, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,194 @@
+"""Streaming runtime tests: decoder, trigger, incremental feature parity,
+and the end-to-end wav-replay Listener."""
+import os
+
+import numpy as np
+import pytest
+from scipy.stats import norm
+
+import jax
+import jax.numpy as jnp
+
+from tpu_speech_commands.frontend import Frontend
+from tpu_speech_commands.params import ListenerParams
+from tpu_speech_commands.streaming import (
+    NumpyStreamReplica,
+    ThresholdDecoder,
+    TriggerDetector,
+    init_stream_state,
+    make_stream_update,
+)
+
+
+# -- ThresholdDecoder --------------------------------------------------------
+
+def test_decoder_edge_cases():
+    dec = ThresholdDecoder(((6, 4),), center=0.2)
+    assert dec.decode(0.0) == 0.0
+    assert dec.decode(1.0) == 1.0
+
+
+def test_decoder_monotonic():
+    dec = ThresholdDecoder(((6, 4),), center=0.2)
+    xs = np.linspace(1e-6, 1 - 1e-6, 200)
+    ys = [dec.decode(float(x)) for x in xs]
+    assert all(b >= a - 1e-12 for a, b in zip(ys, ys[1:]))
+    assert all(0.0 <= y <= 1.0 for y in ys)
+
+
+def test_decoder_matches_analytic_cdf():
+    # decode maps logit(raw) through the N(mu, std) CDF, then recenters:
+    # cp < center -> 0.5*cp/center ; else 0.5 + 0.5*(cp-center)/(1-center)
+    mu, std, center = 6.0, 4.0, 0.2
+    dec = ThresholdDecoder(((mu, std),), center=center)
+    for raw in [0.3, 0.6, 0.9, 0.99, 0.9999]:
+        logit = -np.log(1 / raw - 1)
+        cp = norm.cdf((logit - mu) / std)
+        expect = 0.5 * cp / center if cp < center else 0.5 + 0.5 * (cp - center) / (1 - center)
+        got = dec.decode(raw)
+        assert got == pytest.approx(expect, abs=0.02)
+
+
+def test_decoder_encode_roundtrip():
+    # The reference encode (listen.py:510-517) double-transforms the
+    # threshold, so decode(encode(t)) == min(0.5*t/center, 1) — preserved.
+    dec = ThresholdDecoder(((6, 4),), center=0.2)
+    for threshold in [0.1, 0.2, 0.3]:
+        raw = dec.encode(threshold)
+        expect = min(0.5 * threshold / dec.center, 1.0)
+        assert dec.decode(raw) == pytest.approx(expect, abs=0.05)
+
+
+def test_decoder_array():
+    dec = ThresholdDecoder(((6, 4),), center=0.2)
+    arr = np.array([0.1, 0.5, 0.9])
+    out = dec.decode_array(arr)
+    np.testing.assert_allclose(out, [dec.decode(v) for v in arr])
+
+
+def test_decoder_zero_range():
+    dec = ThresholdDecoder(((5, 0),), center=0.5)
+    assert dec.out_range == 0
+    assert dec.decode(0.9) in (0.0, 1.0, 0.5) or 0 <= dec.decode(0.9) <= 1
+
+
+# -- TriggerDetector ---------------------------------------------------------
+
+CLASSES = ["background", "left", "right"]
+
+
+def test_trigger_fires_after_consecutive_activations():
+    det = TriggerDetector(1024, CLASSES, sensitivity=0.5, trigger_level=3)
+    fired = [det.update(1, 0.9) for _ in range(5)]
+    # 1st update records the class; then activation 1,2,3,4 — 4>3 fires
+    assert fired == [False, False, False, False, True]
+    # refractory period: -(8*2048)//1024 = -16
+    assert det.activation == -16
+
+
+def test_trigger_requires_same_class():
+    det = TriggerDetector(1024, CLASSES, trigger_level=2)
+    assert not det.update(1, 0.9)
+    assert not det.update(2, 0.9)  # class switch resets the streak
+    assert not det.update(2, 0.9)
+    assert not det.update(2, 0.9)
+    assert det.update(2, 0.9)
+
+
+def test_trigger_ignores_background_and_low_scores():
+    det = TriggerDetector(1024, CLASSES, trigger_level=1)
+    assert not det.update(0, 0.99)  # background never triggers
+    assert not det.update(0, 0.99)
+    assert not det.update(1, 0.3)  # below sensitivity
+    assert not det.update(1, 0.3)
+
+
+def test_trigger_counter_decay():
+    det = TriggerDetector(1024, CLASSES, trigger_level=5)
+    det.update(1, 0.9)  # records the class
+    det.update(1, 0.9)
+    det.update(1, 0.9)
+    assert det.activation == 2
+    det.update(1, 0.1)  # not activated -> decay
+    assert det.activation == 1
+
+
+# -- incremental feature streaming parity ------------------------------------
+
+@pytest.mark.parametrize("chunk_size", [1024, 512, 800])
+def test_stream_matches_reference_replica(chunk_size):
+    p = ListenerParams()
+    fe = Frontend(p)
+    update = jax.jit(make_stream_update(fe, chunk_size))
+    state = init_stream_state(p)
+    replica = NumpyStreamReplica(p)
+
+    rng = np.random.default_rng(3)
+    t = np.arange(p.sample_rate * 2) / p.sample_rate
+    audio = (0.3 * np.sin(2 * np.pi * 700 * t)
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+    n_chunks = len(audio) // chunk_size
+    for c in range(n_chunks):
+        chunk = audio[c * chunk_size : (c + 1) * chunk_size]
+        state, feats = update(state, jnp.asarray(chunk))
+        expect = replica.update(chunk.astype(np.float64))
+        np.testing.assert_allclose(
+            np.asarray(feats), expect, rtol=1e-3, atol=2e-3,
+            err_msg=f"chunk {c} (size {chunk_size})",
+        )
+
+
+def test_stream_audio_ring_matches_reference():
+    p = ListenerParams()
+    fe = Frontend(p)
+    update = jax.jit(make_stream_update(fe, 1024))
+    state = init_stream_state(p)
+    replica = NumpyStreamReplica(p)
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        chunk = rng.standard_normal(1024).astype(np.float32)
+        state, _ = update(state, jnp.asarray(chunk))
+        replica.update(chunk.astype(np.float64))
+    np.testing.assert_allclose(
+        np.asarray(state["audio"]), replica.audio_buffer, rtol=1e-5, atol=1e-6
+    )
+
+
+# -- Listener end-to-end ------------------------------------------------------
+
+def test_listener_wav_replay(tmp_path, capsys):
+    from tpu_speech_commands.data.synthetic import synth_command_audio
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.streaming import Listener
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    classes_path = tmp_path / "classes.txt"
+    classes_path.write_text("\n".join(CLASSES) + "\n")
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    ckpt = tmp_path / "model.npz"
+    save_checkpoint(str(ckpt), state,
+                    {"model_type": "simple_cnn_lite", "num_classes": len(CLASSES)})
+
+    rng = np.random.default_rng(0)
+    audio = np.concatenate([
+        synth_command_audio("background", rng),
+        synth_command_audio("left", rng),
+    ])
+    wav_path = tmp_path / "in.wav"
+    save_audio(str(wav_path), audio)
+
+    listener = Listener(
+        model_path=str(ckpt),
+        classes_path=str(classes_path),
+        input_wav=str(wav_path),
+        save_dir=str(tmp_path / "saved"),
+    )
+    listener.run_wav()
+    out = capsys.readouterr().out
+    # one confidence bar per full chunk
+    assert out.count("\n") == len(audio) // 1024

@@ -1,0 +1,152 @@
+"""End-to-end training-slice tests: data pipeline -> trainer -> eval -> ckpt."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_speech_commands.data.dataset import Dataset, batch_iterator, get_dataset
+from tpu_speech_commands.data.synthetic import make_synthetic_dataset
+from tpu_speech_commands.evaluation import evaluate_accuracy
+from tpu_speech_commands.losses import background_bias_weights
+from tpu_speech_commands.optim import get_optimizer
+from tpu_speech_commands.parallel import make_mesh
+from tpu_speech_commands.training import (
+    Trainer,
+    TrainerConfig,
+    create_train_state,
+    load_checkpoint,
+    restore_state,
+    save_checkpoint,
+)
+
+CLASSES = ["background", "left", "right"]
+
+
+def toy_dataset(n_per_class=24, seed=0):
+    """Linearly separable synthetic features (N, 30, 20)."""
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    for label in range(len(CLASSES)):
+        base = np.zeros((30, 20), np.float32)
+        base[:, label * 5 : label * 5 + 5] = 2.0
+        x = base + 0.3 * rng.standard_normal((n_per_class, 30, 20)).astype(np.float32)
+        xs.append(x)
+        ys.append(np.full(n_per_class, label, np.int32))
+    return Dataset(np.concatenate(xs), np.concatenate(ys))
+
+
+def test_batch_iterator_pads_final_batch():
+    ds = toy_dataset(n_per_class=10)  # 30 samples
+    batches = list(batch_iterator(ds, 16, shuffle=False))
+    assert len(batches) == 2
+    x, y, valid = batches[-1]
+    assert x.shape[0] == 16 and valid == 14
+
+
+@pytest.mark.parametrize("model_type", ["simple_cnn_lite", "simple_gru"])
+def test_training_learns_toy_problem(model_type, tmp_path):
+    train_ds = toy_dataset(seed=0)
+    val_ds = toy_dataset(n_per_class=8, seed=1)
+    tx = get_optimizer("adam", 3e-3, decay_type=None, injectable=True)
+    model, state = create_train_state(
+        model_type, len(CLASSES), tx, jax.random.PRNGKey(0)
+    )
+    cfg = TrainerConfig(
+        batch_size=16, epochs=8, log_dir=str(tmp_path / "logs"),
+        log_tensorboard=False,
+    )
+    trainer = Trainer(model, state, model_type, len(CLASSES), cfg)
+    history = trainer.fit(train_ds, val_ds, verbose=False)
+    assert history[-1].loss < history[0].loss
+    assert history[-1].val_accuracy > 0.8
+    # checkpoint artifacts: best epoch ckpts + final
+    files = os.listdir(cfg.log_dir)
+    assert "trained_final.npz" in files
+    assert any(f.startswith("ep") and f.endswith(".npz") for f in files)
+    assert "metrics.csv" in files
+
+
+def test_background_bias_loss_weighting():
+    w = background_bias_weights(0.99, 5)
+    np.testing.assert_allclose(w[0], 0.99)
+    np.testing.assert_allclose(w[1:], (1 - 0.99) / 4)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tx = get_optimizer("sgd", 1e-2, decay_type=None)
+    model, state = create_train_state("simple_cnn", 3, tx, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state, {"model_type": "simple_cnn"})
+    variables, meta = load_checkpoint(path)
+    assert meta["model_type"] == "simple_cnn"
+    # value-identical restore
+    model2, state2 = create_train_state("simple_cnn", 3, tx, jax.random.PRNGKey(1))
+    state2 = restore_state(state2, path)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lr_plateau_reduces_lr(tmp_path):
+    ds = toy_dataset(n_per_class=6)
+    tx = get_optimizer("sgd", 1e-2, decay_type=None, injectable=True)
+    model, state = create_train_state("simple_cnn_lite", 3, tx, jax.random.PRNGKey(0))
+    cfg = TrainerConfig(
+        batch_size=8, epochs=3, log_dir=str(tmp_path / "logs"),
+        plateau_patience=1, log_tensorboard=False,
+    )
+    trainer = Trainer(model, state, "simple_cnn_lite", 3, cfg)
+    lr0 = trainer._current_lr()
+    assert lr0 == pytest.approx(1e-2)
+    trainer._scale_lr(0.5)
+    assert trainer._current_lr() == pytest.approx(5e-3)
+
+
+def test_training_on_8_device_mesh(tmp_path):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()  # all 8 devices on the data axis
+    train_ds = toy_dataset(seed=0)
+    val_ds = toy_dataset(n_per_class=8, seed=1)
+    tx = get_optimizer("adam", 3e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", 3, tx, jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=16, epochs=2, log_dir=str(tmp_path / "logs"),
+                        log_tensorboard=False)
+    trainer = Trainer(model, state, "simple_cnn_lite", 3, cfg, mesh=mesh)
+    history = trainer.fit(train_ds, val_ds, verbose=False)
+    assert np.isfinite(history[-1].loss)
+
+
+def test_wav_dataset_pipeline_end_to_end(tmp_path):
+    from tpu_speech_commands.frontend import Frontend
+
+    root = make_synthetic_dataset(str(tmp_path / "data"), CLASSES, samples_per_class=4)
+    train_ds = get_dataset(root, CLASSES, frontend=Frontend(), batch_size=8,
+                           use_cache=True)
+    assert len(train_ds) == 12
+    assert train_ds.x.shape[1:] == (30, 20)
+    # cache dir was materialised in reference layout and reloads identically
+    cached = get_dataset(root, CLASSES, use_cache=True)
+    assert len(cached) == 12
+    assert sorted(np.unique(cached.y)) == [0, 1, 2]
+    np.testing.assert_allclose(
+        np.sort(train_ds.x.sum((1, 2))), np.sort(cached.x.sum((1, 2))), rtol=1e-5
+    )
+
+
+def test_eval_confusion_matrix(tmp_path):
+    ds = toy_dataset(n_per_class=8)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn", 3, tx, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    acc, conf = evaluate_accuracy(
+        model, variables, ds, "simple_cnn", CLASSES,
+        batch_size=8, output_path=str(tmp_path), verbose=False,
+    )
+    assert conf.shape == (3, 3)
+    assert conf.sum() == len(ds)
+    assert os.path.exists(tmp_path / "confusion_matrix.png")

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Export a native checkpoint to SavedModel / TFLite / ONNX.
+
+Replaces the reference's converter scripts
+(tools/model_converter/{keras_to_tensorflow,keras_to_onnx,
+custom_tflite_convert}.py) with one jax2tf-based CLI:
+
+    python tools/model_converter/export_model.py \
+        --checkpoint logs/000/trained_final.npz \
+        --format tflite --output_path model.tflite
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="native .npz checkpoint")
+    parser.add_argument("--format", type=str, required=True,
+                        choices=["saved_model", "tflite", "onnx"])
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--quantize", action="store_true",
+                        help="TFLite post-training quantization")
+    parser.add_argument("--params_path", type=str, default=None)
+    args = parser.parse_args()
+
+    from tpu_speech_commands.export.saved_model import (
+        export_onnx,
+        export_saved_model,
+        export_tflite,
+    )
+    from tpu_speech_commands.params import inject_params
+
+    if args.params_path:
+        inject_params(args.params_path)
+
+    if args.format == "saved_model":
+        out = export_saved_model(args.checkpoint, args.output_path)
+    elif args.format == "tflite":
+        out = export_tflite(args.checkpoint, args.output_path, args.quantize)
+    else:
+        out = export_onnx(args.checkpoint, args.output_path)
+    print(f"Exported {args.format} to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Multi-format inference model loader (reference: common/model_utils.py:104-165).
+
+Dispatch on file suffix, returning ``(predict_fn, model_format)`` where
+``predict_fn(features)`` maps a (B, n_features, feature_size[, 1]) float32
+batch to (B, num_classes) softmax scores:
+
+- ``.npz``          native checkpoint -> jitted JAX forward (TPU path)
+- ``.tflite``       TFLite flat buffer -> tf.lite.Interpreter
+- ``.h5``/``.keras``  Keras model (reference-trained artifacts load directly)
+- SavedModel dir    TF serving signature
+- ``.onnx``/``.mnn``  gated: raised with an actionable message when the
+                    runtime isn't installed (onnxruntime/MNN are optional)
+
+Each backend adapts input rank like the reference predictors
+(eval.py:53-55): 3-D model inputs get the channel axis squeezed.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _adapt_rank(features: np.ndarray, want_rank: int) -> np.ndarray:
+    features = np.asarray(features, np.float32)
+    if features.ndim == want_rank + 1 and features.shape[-1] == 1:
+        return features[..., 0]
+    if features.ndim == want_rank - 1:
+        return features[..., None]
+    return features
+
+
+def load_native(model_path: str):
+    """Native .npz checkpoint -> jitted predict closure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import features_to_input, init_model, score_fn
+    from ..params import pr
+    from ..training.checkpoints import load_checkpoint
+
+    variables, meta = load_checkpoint(model_path)
+    model_type = meta.get("model_type")
+    num_classes = meta.get("num_classes")
+    if model_type is None or num_classes is None:
+        raise ValueError(
+            f"{model_path} lacks model_type/num_classes metadata; re-save with "
+            "training.save_checkpoint(meta={'model_type': ..., 'num_classes': ...})"
+        )
+    if meta.get("params"):
+        pr.override(meta["params"])
+    model, init_vars = init_model(
+        model_type, num_classes, jax.random.PRNGKey(0), params=pr
+    )
+    # adopt checkpoint arrays (shapes validated against a fresh init)
+    def adopt(new, old):
+        new = np.asarray(new)
+        assert new.shape == np.asarray(old).shape, (new.shape, np.asarray(old).shape)
+        return jnp.asarray(new, jnp.asarray(old).dtype)
+
+    variables = jax.tree_util.tree_map(adopt, variables, {
+        k: init_vars[k] for k in variables
+    })
+
+    @jax.jit
+    def forward(feats):
+        logits = model.apply(variables, feats, train=False)
+        return score_fn(logits)
+
+    def predict(features):
+        feats = features_to_input(jnp.asarray(np.asarray(features, np.float32)),
+                                  model_type)
+        return np.asarray(forward(feats))
+
+    predict.model_type = model_type
+    predict.num_classes = num_classes
+    predict.variables = variables
+    predict.model = model
+    predict.classes = meta.get("classes")
+    predict.meta = meta
+    return predict
+
+
+def load_tflite(model_path: str):
+    from tensorflow.lite.python import interpreter as interpreter_wrapper
+
+    interp = interpreter_wrapper.Interpreter(model_path=model_path)
+    input_details = interp.get_input_details()
+    output_details = interp.get_output_details()
+    in_rank = len(input_details[0]["shape"])
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        outs = []
+        for row in feats:  # TFLite interpreters are batch-1 by default
+            interp.resize_tensor_input(input_details[0]["index"], (1,) + row.shape)
+            interp.allocate_tensors()
+            interp.set_tensor(input_details[0]["index"], row[None])
+            interp.invoke()
+            outs.append(interp.get_tensor(output_details[0]["index"])[0])
+        return np.stack(outs)
+
+    return predict
+
+
+def load_keras(model_path: str):
+    import tensorflow as tf
+
+    model = tf.keras.models.load_model(model_path, compile=False)
+    in_rank = len(model.inputs[0].shape)
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        return np.asarray(model(feats))
+
+    predict.keras_model = model
+    return predict
+
+
+def load_saved_model(model_path: str):
+    import tensorflow as tf
+
+    loaded = tf.saved_model.load(model_path)
+    fn = loaded.signatures["serving_default"]
+    in_name, spec = next(iter(fn.structured_input_signature[1].items()))
+    in_rank = len(spec.shape)
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        out = fn(**{in_name: tf.constant(feats)})
+        return np.asarray(next(iter(out.values())))
+
+    return predict
+
+
+def load_inference_model(model_path: str):
+    """Returns (predict_fn, model_format)."""
+    if model_path.endswith(".npz"):
+        return load_native(model_path), "NATIVE"
+    if model_path.endswith(".tflite"):
+        return load_tflite(model_path), "TFLITE"
+    if model_path.endswith((".h5", ".keras")):
+        return load_keras(model_path), "H5"
+    if os.path.isdir(model_path):
+        return load_saved_model(model_path), "SAVED_MODEL"
+    if model_path.endswith(".onnx"):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "onnxruntime is not installed; install it to run .onnx models, "
+                "or use the .npz/.tflite paths"
+            ) from e
+        return _load_onnx(model_path), "ONNX"
+    if model_path.endswith(".mnn"):
+        raise ImportError(
+            "MNN python runtime is not installed; use the native C++ apps under "
+            "native/ or the .npz/.tflite paths"
+        )
+    raise ValueError(f"invalid model file: {model_path}")
+
+
+def _load_onnx(model_path: str):
+    import onnxruntime
+
+    session = onnxruntime.InferenceSession(
+        model_path, providers=["CPUExecutionProvider"]
+    )
+    inp = session.get_inputs()[0]
+    in_rank = len(inp.shape)
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        if in_rank == 4 and inp.shape[1] in (1,):  # NCHW export
+            feats = np.transpose(feats, (0, 3, 1, 2))
+        return session.run(None, {inp.name: feats})[0]
+
+    return predict

@@ -1,0 +1,132 @@
+"""Model export: native checkpoint -> TF SavedModel / TFLite / ONNX.
+
+The reference exports Keras H5 to PB/ONNX/TFLite via
+`tools/model_converter/*` (keras_to_tensorflow.py:77-147,
+keras_to_onnx.py:30-51, custom_tflite_convert.py); here export flows from
+the JAX model through jax2tf:
+
+    .npz checkpoint -> jax2tf.convert -> tf.Module -> SavedModel
+                                             |-> TFLiteConverter -> .tflite
+                                             |-> tf2onnx (if installed) -> .onnx
+
+Exports use the reference I/O contract: input `feature_input`
+(B, n_features, feature_size[, 1]) and softmax output `score_predict`
+(B, num_classes).  A params.json + classes.txt are emitted alongside for
+the on-device apps (native/ and the reference C++ apps both read them).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _load_for_export(checkpoint_path: str):
+    from .inference_loader import load_native
+
+    predict = load_native(checkpoint_path)
+    return predict
+
+
+def export_saved_model(
+    checkpoint_path: str,
+    output_dir: str,
+    batch_size: int | None = None,
+) -> str:
+    """Native checkpoint -> TF SavedModel with a serving signature."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from ..models import input_shape, score_fn
+    from ..params import pr
+
+    predict = _load_for_export(checkpoint_path)
+    model, variables, model_type = predict.model, predict.variables, predict.model_type
+
+    def forward(x):
+        logits = model.apply(variables, x, train=False)
+        return score_fn(logits)
+
+    shape = input_shape(model_type, params=pr)
+    poly = None if batch_size else ["(b, ...)"]
+    tf_fn = jax2tf.convert(forward, with_gradient=False, polymorphic_shapes=poly)
+    module = tf.Module()
+    module.f = tf.function(
+        lambda feature_input: {"score_predict": tf_fn(feature_input)},
+        input_signature=[
+            tf.TensorSpec((batch_size,) + shape, tf.float32, name="feature_input")
+        ],
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    tf.saved_model.save(
+        module, output_dir, signatures={"serving_default": module.f}
+    )
+    _emit_sidecars(output_dir, predict)
+    return output_dir
+
+
+def export_tflite(
+    checkpoint_path: str,
+    output_file: str,
+    quantize: bool = False,
+) -> str:
+    """Native checkpoint -> .tflite flat buffer (fixed batch 1).
+
+    RNN models export their `lax.scan` as TFLite control-flow ops
+    (SELECT_TF_OPS fallback enabled for robustness).
+    """
+    import tempfile
+
+    import tensorflow as tf
+
+    with tempfile.TemporaryDirectory() as tmp:
+        saved = export_saved_model(checkpoint_path, tmp, batch_size=1)
+        converter = tf.lite.TFLiteConverter.from_saved_model(saved)
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+            tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        if quantize:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        blob = converter.convert()
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    with open(output_file, "wb") as f:
+        f.write(blob)
+    predict = _load_for_export(checkpoint_path)
+    _emit_sidecars(os.path.dirname(os.path.abspath(output_file)), predict)
+    return output_file
+
+
+def export_onnx(checkpoint_path: str, output_file: str, opset: int = 13) -> str:
+    """Native checkpoint -> .onnx via tf2onnx (gated on availability)."""
+    try:
+        import tf2onnx  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "tf2onnx is not installed; export to SavedModel/TFLite instead, "
+            "or install tf2onnx for ONNX export"
+        ) from e
+    import tempfile
+
+    import tf2onnx.convert
+
+    with tempfile.TemporaryDirectory() as tmp:
+        saved = export_saved_model(checkpoint_path, tmp, batch_size=1)
+        tf2onnx.convert.from_saved_model(
+            saved, opset=opset, output_path=output_file
+        )
+    return output_file
+
+
+def _emit_sidecars(output_dir: str, predict) -> None:
+    """params.json + classes.txt next to the exported model (consumed by the
+    native C++ apps, mirroring the reference deployment contract)."""
+    from ..params import pr
+
+    with open(os.path.join(output_dir, "params.json"), "w") as f:
+        json.dump(pr.to_dict(), f, indent=2)
+    classes = getattr(predict, "classes", None)
+    if classes:
+        with open(os.path.join(output_dir, "classes.txt"), "w") as f:
+            f.write("\n".join(classes) + "\n")

@@ -134,22 +134,32 @@ class Frontend:
         self._dct_t = jnp.asarray(dct_t_matrix(p.n_filt))
         self.n_frames = 1 + (p.max_samples - p.window_samples) // p.hop_samples
 
+    def power_from_frames(self, frames: jax.Array) -> jax.Array:
+        """(..., W) frames -> (..., n_fft//2+1) power spectrum."""
+        re = jnp.matmul(frames, self._cos, precision=_PRECISION)
+        im = jnp.matmul(frames, self._sin, precision=_PRECISION)
+        return (re * re + im * im) / self.params.n_fft
+
     def power_spec(self, audio: jax.Array) -> jax.Array:
         """(..., S) -> (..., T, n_fft//2+1) power spectrogram."""
         p = self.params
         frames = frame_signal(audio, p.window_samples, p.hop_samples)
-        re = jnp.matmul(frames, self._cos, precision=_PRECISION)
-        im = jnp.matmul(frames, self._sin, precision=_PRECISION)
-        return (re * re + im * im) / p.n_fft
+        return self.power_from_frames(frames)
+
+    def features_from_frames(self, frames: jax.Array) -> jax.Array:
+        """(..., W) frames -> (..., n_mfcc) cepstral features (no deltas)."""
+        p = self.params
+        powers = self.power_from_frames(frames)
+        mels = safe_log(jnp.matmul(powers, self._filt, precision=_PRECISION))
+        coeffs = jnp.matmul(mels, self._dct_t, precision=_PRECISION)[..., : p.n_mfcc]
+        energy = safe_log(jnp.sum(powers, axis=-1, keepdims=True))
+        return jnp.concatenate([energy, coeffs[..., 1:]], axis=-1)
 
     def __call__(self, audio: jax.Array) -> jax.Array:
         """(..., S) float32 audio -> (..., T, feature_size) features."""
         p = self.params
-        powers = self.power_spec(audio)
-        mels = safe_log(jnp.matmul(powers, self._filt, precision=_PRECISION))
-        coeffs = jnp.matmul(mels, self._dct_t, precision=_PRECISION)[..., : p.n_mfcc]
-        energy = safe_log(jnp.sum(powers, axis=-1, keepdims=True))
-        feats = jnp.concatenate([energy, coeffs[..., 1:]], axis=-1)
+        frames = frame_signal(audio, p.window_samples, p.hop_samples)
+        feats = self.features_from_frames(frames)
         if p.use_delta:
             feats = add_deltas(feats)
         return feats

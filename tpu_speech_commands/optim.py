@@ -58,21 +58,36 @@ def get_optimizer(
     average_type: str | None = None,
     decay_type: str | None = "cosine",
     decay_steps: int = 100000,
+    injectable: bool = False,
 ) -> optax.GradientTransformation:
-    """Build the optax optimizer chain (model_utils.py:40-58)."""
+    """Build the optax optimizer chain (model_utils.py:40-58).
+
+    ``injectable=True`` wraps the optimizer in ``optax.inject_hyperparams``
+    so the learning rate lives in the optimizer state and the trainer's
+    ReduceLROnPlateau equivalent can scale it between epochs (the reference
+    only uses the plateau callback when no decay schedule is active,
+    train.py:58-59 — pass injectable with decay_type=None).
+    """
     optim_type = optim_type.lower()
     lr = get_lr_scheduler(learning_rate, decay_type, decay_steps)
 
     if optim_type == "adam":
-        tx = optax.adam(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-7)
+        make = lambda learning_rate: optax.adam(
+            learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-7
+        )
     elif optim_type == "rmsprop":
-        tx = optax.rmsprop(
-            learning_rate=lr, decay=0.9, eps=1e-7, momentum=0.0, centered=False
+        make = lambda learning_rate: optax.rmsprop(
+            learning_rate=learning_rate, decay=0.9, eps=1e-7, momentum=0.0,
+            centered=False,
         )
     elif optim_type == "sgd":
-        tx = optax.sgd(learning_rate=lr, momentum=0.0, nesterov=False)
+        make = lambda learning_rate: optax.sgd(
+            learning_rate=learning_rate, momentum=0.0, nesterov=False
+        )
     else:
         raise ValueError("Unsupported optimizer type")
+
+    tx = optax.inject_hyperparams(make)(learning_rate=lr) if injectable else make(lr)
 
     if average_type and average_type.lower() == "lookahead":
         # tfa.Lookahead(sync_period=6, slow_step_size=0.5) equivalent

@@ -61,7 +61,9 @@ def param_spec(path: tuple[str, ...], leaf) -> P:
     replicated: at these layer sizes replication is both the fastest and
     the memory-cheapest layout.
     """
-    names = [getattr(k, "key", str(k)) for k in path]
+    from ..utils import path_names
+
+    names = path_names(path)
     if "feature_dense" in names and names[-1] == "kernel":
         return P(None, MODEL_AXIS)
     if "feature_dense" in names and names[-1] == "bias":

@@ -1,0 +1,20 @@
+from .decoder import ThresholdDecoder
+from .feature_stream import (
+    NumpyStreamReplica,
+    StreamConfig,
+    init_stream_state,
+    make_stream_update,
+)
+from .listener import Listener, default_config
+from .trigger import TriggerDetector
+
+__all__ = [
+    "ThresholdDecoder",
+    "TriggerDetector",
+    "Listener",
+    "default_config",
+    "NumpyStreamReplica",
+    "StreamConfig",
+    "init_stream_state",
+    "make_stream_update",
+]

@@ -1,0 +1,137 @@
+"""Incremental streaming feature extraction under jit.
+
+Re-formulates the reference ring-buffer update (`listen.py:96-114`) as a
+fixed-shape, jit-compatible state transition so the whole
+chunk -> features -> logits step compiles into ONE device program:
+
+reference state (ragged)            ->  fixed-shape state here
+  audio_buffer (buffer_samples,)        audio   (buffer_samples,) f32
+  window_audio (variable length)        fill    () int32  — pending-sample
+                                        count; the pending samples ARE the
+                                        tail of `audio`, so no second buffer
+  mfccs (n_features, n_mfcc)            feats   (n_features, n_mfcc) f32
+
+Per chunk (chunk_size static): append chunk to the ring, grow `fill`; if
+fill >= window, emit n_new = 1 + (fill-window)//hop frames exactly like
+sonopy's chop_array over window_audio, consume n_new*hop pending samples,
+and roll the feature buffer left by n_new.  n_new is data-dependent but
+bounded by the static MAX_NEW = 1 + (chunk_size-1)//hop, so frames are
+computed at MAX_NEW static positions and merged with a dynamic slice.
+
+Chunk-for-chunk output parity with the reference updater is covered by
+tests/test_streaming.py against a NumPy replica.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.dsp import Frontend
+from ..params import ListenerParams, pr
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    chunk_size: int
+    params: ListenerParams
+
+    @property
+    def max_new(self) -> int:
+        """Static bound on frames emitted per chunk: pending length peaks at
+        window-1+chunk, giving 1 + (chunk-1)//hop frames."""
+        return 1 + (self.chunk_size - 1) // self.params.hop_samples
+
+
+def init_stream_state(params: ListenerParams | None = None):
+    """Zeroed streaming state (audio ring, pending count, feature buffer) —
+    mirrors listen.py:90-92."""
+    p = params or pr
+    return {
+        "audio": jnp.zeros(p.buffer_samples, jnp.float32),
+        "fill": jnp.asarray(0, jnp.int32),
+        "feats": jnp.zeros((p.n_features, p.n_mfcc), jnp.float32),
+    }
+
+
+def make_stream_update(frontend: Frontend, chunk_size: int):
+    """Build the jittable (state, chunk) -> (state, features) transition."""
+    p = frontend.params
+    cfg = StreamConfig(chunk_size, p)
+    window, hop = p.window_samples, p.hop_samples
+    buf_len = p.buffer_samples
+    max_new = cfg.max_new
+    assert max_new <= p.n_features, (
+        "chunk_size too large for incremental update; lower chunk_size"
+    )
+    assert chunk_size <= buf_len, "chunk_size exceeds audio buffer"
+
+    def update(state, chunk):
+        audio = jnp.concatenate([state["audio"][chunk_size:], chunk])
+        fill = state["fill"] + chunk_size
+
+        n_new = jnp.where(fill >= window, 1 + (fill - window) // hop, 0)
+
+        # window_audio == the trailing `fill` samples of the stream; frame j
+        # covers window_audio[j*hop : j*hop+window]
+        start0 = buf_len - fill
+        frames = jnp.stack(
+            [
+                jax.lax.dynamic_slice(audio, (start0 + j * hop,), (window,))
+                for j in range(max_new)
+            ]
+        )
+        new_feats = frontend.features_from_frames(frames)  # (max_new, n_mfcc)
+
+        # roll the feature buffer left by n_new and append the n_new valid rows
+        stacked = jnp.concatenate([state["feats"], new_feats])
+        feats = jax.lax.dynamic_slice(
+            stacked, (n_new, 0), (p.n_features, p.n_mfcc)
+        )
+        fill = fill - n_new * hop
+        new_state = {"audio": audio, "fill": fill, "feats": feats}
+        out = feats
+        if p.use_delta:
+            # deltas computed on the output copy only — the reference mutates
+            # its state here (listen.py:108-110), which breaks on the next
+            # chunk; we keep state un-deltaed (documented fix)
+            from ..frontend.dsp import add_deltas
+
+            out = add_deltas(feats)
+        return new_state, out
+
+    return update
+
+
+class NumpyStreamReplica:
+    """Direct NumPy replica of the reference update_vectors (listen.py:96-114)
+    — the parity oracle for the jit streamer."""
+
+    def __init__(self, params: ListenerParams | None = None):
+        from ..frontend import numpy_ref
+
+        self.p = params or pr
+        self._vectorize = partial(numpy_ref.vectorize_raw, params=self.p)
+        self.audio_buffer = np.zeros(self.p.buffer_samples)
+        self.window_audio = np.array([])
+        self.mfccs = np.zeros((self.p.n_features, self.p.n_mfcc))
+
+    def update(self, chunk_audio: np.ndarray) -> np.ndarray:
+        self.audio_buffer = np.concatenate(
+            (self.audio_buffer[len(chunk_audio) :], chunk_audio)
+        )
+        self.window_audio = np.concatenate((self.window_audio, chunk_audio))
+        if len(self.window_audio) >= self.p.window_samples:
+            new_features = self._vectorize(self.window_audio)
+            self.window_audio = self.window_audio[
+                len(new_features) * self.p.hop_samples :
+            ]
+            if len(new_features) > len(self.mfccs):
+                new_features = new_features[-len(self.mfccs) :]
+            self.mfccs = np.concatenate(
+                (self.mfccs[len(new_features) :], new_features)
+            )
+        return self.mfccs

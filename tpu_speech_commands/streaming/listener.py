@@ -1,0 +1,213 @@
+"""Streaming keyword-spotting runtime (reference: listen.py:31-448).
+
+`Listener` ties together: params injection, class list, multi-format model
+loading, the jit-compiled incremental feature streamer, ThresholdDecoder
+calibration and TriggerDetector debouncing.
+
+For native (.npz) models the ENTIRE per-chunk path — ring-buffer update,
+incremental MFCC, model forward, softmax — compiles into one device
+program with donated state, so steady-state serving does a single host->
+device transfer (the 1024-sample chunk) per 64 ms tick.
+
+Modes: `run_wav` (deterministic wav replay, testable), `run_microphone`
+(PyAudio, gated on availability).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import wave
+from random import randint
+
+import numpy as np
+
+from ..data.wav import buffer_to_audio, save_audio
+from ..export.inference_loader import load_inference_model
+from ..frontend.dsp import Frontend
+from ..models import features_to_input, is_cnn, score_fn
+from ..params import inject_params, pr
+from ..utils import ensure_background_first, get_classes
+from .decoder import ThresholdDecoder
+from .feature_stream import init_stream_state, make_stream_update
+from .trigger import TriggerDetector
+
+default_config = {
+    "model_path": "",
+    "classes_path": os.path.join("configs", "direction_classes.txt"),
+    "params_path": None,
+    "chunk_size": 1024,
+    "sensitivity": 0.5,
+    "trigger_level": 3,
+    "save_dir": None,
+    "input_wav": None,
+    "feature_type": "mfcc",
+}
+
+
+class Listener:
+    _defaults = default_config
+
+    def __init__(self, **kwargs):
+        self.__dict__.update(self._defaults)
+        self.__dict__.update(kwargs)
+
+        self.pr = inject_params(self.params_path) if self.params_path else pr
+
+        self.class_names = get_classes(self.classes_path)
+        ensure_background_first(self.class_names)
+
+        self.predict_fn, self.model_format = load_inference_model(self.model_path)
+
+        self.threshold_decoder = ThresholdDecoder(
+            self.pr.threshold_config, self.pr.threshold_center
+        )
+        self.detector = TriggerDetector(
+            self.chunk_size, self.class_names, self.sensitivity, self.trigger_level
+        )
+
+        self.frontend = Frontend(self.pr, feature_type=self.feature_type)
+        self._setup_stream()
+        self.session_id = "%09d" % randint(0, 999999999)
+        self.record_num = 0
+
+    # -- streaming state -----------------------------------------------------
+
+    def _setup_stream(self):
+        import jax
+
+        update = make_stream_update(self.frontend, self.chunk_size)
+        self.state = init_stream_state(self.pr)
+
+        if self.model_format == "NATIVE":
+            model = self.predict_fn.model
+            variables = self.predict_fn.variables
+            model_type = self.predict_fn.model_type
+
+            def fused(state, chunk):
+                state, feats = update(state, chunk)
+                x = features_to_input(feats[None], model_type)
+                logits = model.apply(variables, x, train=False)
+                return state, score_fn(logits)[0]
+
+            self._step = jax.jit(fused, donate_argnums=(0,))
+            self._external = None
+        else:
+            self._step = jax.jit(update, donate_argnums=(0,))
+            self._external = self.predict_fn
+
+    def update_vectors(self, chunk: bytes | np.ndarray) -> np.ndarray:
+        """Feed one chunk of audio; returns the (n_features, n_mfcc, 1)
+        feature tensor (reference update_vectors contract, listen.py:96-114).
+        Only used for the external-format path and tests; the native path
+        uses the fused step."""
+        import jax.numpy as jnp
+
+        audio = buffer_to_audio(chunk) if isinstance(chunk, bytes) else chunk
+        self.state, feats = self._step(self.state, jnp.asarray(audio, jnp.float32))
+        return np.asarray(feats)[..., None]
+
+    def process_chunk(self, chunk: bytes | np.ndarray) -> np.ndarray:
+        """Chunk -> class scores (softmax)."""
+        import jax.numpy as jnp
+
+        audio = buffer_to_audio(chunk) if isinstance(chunk, bytes) else chunk
+        audio = jnp.asarray(audio, jnp.float32)
+        if self._external is None:
+            self.state, scores = self._step(self.state, audio)
+            return np.asarray(scores)
+        self.state, feats = self._step(self.state, audio)
+        return self._external(np.asarray(feats)[None])[0]
+
+    # -- postprocess / UI ----------------------------------------------------
+
+    def handle_scores(self, scores: np.ndarray, on_activation=None):
+        """argmax -> threshold decode (non-background) -> bar -> trigger."""
+        index = int(np.argmax(scores))
+        score = float(scores[index])
+        if self.class_names[index] != "background":
+            score = self.threshold_decoder.decode(score)
+        self.on_prediction(index, score)
+        if self.detector.update(index, score):
+            self.on_activation(index)
+            if on_activation:
+                on_activation(index)
+        return index, score
+
+    def on_prediction(self, index: int, score: float, max_width: int = 80):
+        """80-col X/x/- confidence bar (listen.py:274-288)."""
+        width = min(shutil.get_terminal_size()[0], max_width)
+        class_name = self.class_names[index]
+        if class_name == "background":
+            score = 1.0 - score
+            class_name = ""
+        units = int(round(score * width))
+        bar = "X" * units + "-" * (width - units)
+        cutoff = round(self.sensitivity * width)
+        print(bar[:cutoff] + bar[cutoff:].replace("X", "x") + class_name)
+
+    def on_activation(self, index: int):
+        print("command {} detected!".format(self.class_names[index]))
+        if self.save_dir:
+            save_class_dir = os.path.join(self.save_dir, self.class_names[index])
+            os.makedirs(save_class_dir, exist_ok=True)
+            wav_path = os.path.join(
+                save_class_dir, f"{self.session_id}_{self.record_num}.wav"
+            )
+            save_audio(wav_path, np.asarray(self.state["audio"]))
+            print("Saved to " + wav_path + ".")
+            self.record_num += 1
+
+    # -- run loops -----------------------------------------------------------
+
+    def run_wav(self, wav_path: str | None = None, realtime: bool = False):
+        """Replay a wav through the streaming loop (listen.py:384-436)."""
+        import time
+
+        wav_path = wav_path or self.input_wav
+        with wave.open(wav_path, "rb") as wf:
+            assert wf.getframerate() == self.pr.sample_rate, "unmatched sample rate"
+            assert wf.getsampwidth() == self.pr.sample_depth, "unmatched sample depth"
+            assert wf.getnchannels() == 1, "only support mono channel"
+            while True:
+                data = wf.readframes(self.chunk_size)
+                if len(data) < self.chunk_size * self.pr.sample_depth:
+                    break
+                scores = self.process_chunk(data)
+                self.handle_scores(scores)
+                if realtime:
+                    time.sleep(self.chunk_size / self.pr.sample_rate)
+
+    def run_microphone(self):
+        """Live microphone loop (listen.py:341-381); requires PyAudio."""
+        try:
+            import pyaudio
+        except ImportError as e:
+            raise ImportError(
+                "PyAudio is not installed — microphone mode unavailable. "
+                "Use run_wav for wav replay."
+            ) from e
+        p = pyaudio.PyAudio()
+        stream = p.open(
+            format=pyaudio.paInt16,
+            channels=1,
+            rate=self.pr.sample_rate,
+            input=True,
+            frames_per_buffer=self.chunk_size,
+        )
+        try:
+            while True:
+                data = stream.read(self.chunk_size, exception_on_overflow=False)
+                scores = self.process_chunk(data)
+                self.handle_scores(scores)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            stream.stop_stream()
+            stream.close()
+            p.terminate()
+
+    def run(self):
+        if self.input_wav:
+            self.run_wav(self.input_wav)
+        else:
+            self.run_microphone()

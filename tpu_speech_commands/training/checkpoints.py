@@ -19,11 +19,13 @@ from glob import glob
 import jax
 import numpy as np
 
+from ..utils import path_names
+
 
 def _flatten(tree, prefix: str) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        key = "/".join(path_names(path))
         flat[f"{prefix}/{key}"] = np.asarray(leaf)
     return flat
 

@@ -33,6 +33,7 @@ from ..data.dataset import Dataset, batch_iterator
 from ..losses import make_loss_fn
 from ..models import features_to_input, init_model, is_cnn
 from ..parallel import batch_sharding, make_mesh, replicated, state_sharding
+from ..utils import path_names
 from .checkpoints import CheckpointManager
 
 
@@ -155,10 +156,14 @@ class Trainer:
         config: TrainerConfig,
         background_bias: float | None = None,
         mesh=None,
+        checkpoint_meta: dict | None = None,
     ):
         self.model = model
         self.model_type = model_type
         self.config = config
+        self.checkpoint_meta = checkpoint_meta or {
+            "model_type": model_type, "num_classes": num_classes,
+        }
         self.mesh = mesh if mesh is not None else make_mesh()
         self.has_batch_stats = state.batch_stats is not None
         loss_fn = make_loss_fn(num_classes, background_bias)
@@ -230,7 +235,7 @@ class Trainer:
 
     def _scale_lr(self, factor: float):
         def scale(path, leaf):
-            names = [str(getattr(k, "key", k)) for k in path]
+            names = path_names(path)
             if "hyperparams" in names and "learning_rate" in names:
                 return jnp.maximum(leaf * factor, self.config.plateau_min_lr)
             return leaf
@@ -243,7 +248,9 @@ class Trainer:
     def fit(self, train_ds: Dataset, val_ds: Dataset, verbose: bool = True):
         cfg = self.config
         os.makedirs(cfg.log_dir, exist_ok=True)
-        ckpt = CheckpointManager(cfg.log_dir, max_keep=cfg.max_keep)
+        ckpt = CheckpointManager(
+            cfg.log_dir, max_keep=cfg.max_keep, meta=self.checkpoint_meta
+        )
         logger = MetricsLogger(cfg.log_dir, tensorboard=cfg.log_tensorboard)
         rng = jax.random.PRNGKey(cfg.seed)
 

@@ -9,6 +9,20 @@ def get_classes(classes_path: str) -> list[str]:
     return [c for c in class_names if c]
 
 
+def path_names(path) -> list[str]:
+    """String names for a jax key path (DictKey.key / GetAttrKey.name /
+    SequenceKey.idx)."""
+    out = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                out.append(str(getattr(k, attr)))
+                break
+        else:
+            out.append(str(k))
+    return out
+
+
 def ensure_background_first(class_names: list[str]) -> None:
     """Every entry point asserts the first class is 'background'
     (reference train.py:26, eval.py:285, listen.py:66)."""

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Train a speech-commands classifier on TPU.
+
+CLI-compatible with the reference trainer (`train.py:100-134` in
+david8862/tf-keras-speech-commands), plus TPU-specific flags
+(--num_devices, --dtype, --feature_type).
+"""
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from tpu_speech_commands.data.dataset import get_dataset
+from tpu_speech_commands.frontend import Frontend
+from tpu_speech_commands.models import MODEL_TYPES
+from tpu_speech_commands.optim import get_optimizer
+from tpu_speech_commands.params import inject_params, pr, save_params
+from tpu_speech_commands.parallel import make_mesh
+from tpu_speech_commands.training import (
+    Trainer,
+    TrainerConfig,
+    create_train_state,
+    restore_state,
+)
+from tpu_speech_commands.utils import ensure_background_first, get_classes
+
+
+def main(args):
+    log_dir = args.log_dir
+    class_names = get_classes(args.classes_path)
+    ensure_background_first(class_names)
+    num_classes = len(class_names)
+
+    if args.params_path:
+        inject_params(args.params_path)
+
+    frontend = Frontend(pr, feature_type=args.feature_type)
+
+    if args.val_data_path:
+        train_ds = get_dataset(args.train_data_path, class_names, frontend=frontend)
+        val_ds = get_dataset(args.val_data_path, class_names, frontend=frontend)
+    else:
+        assert args.val_split > 0, "no val data split."
+        train_ds, val_ds = get_dataset(
+            args.train_data_path, class_names, val_split=args.val_split,
+            frontend=frontend,
+        )
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    decay_steps = steps_per_epoch * args.epochs
+    tx = get_optimizer(
+        args.optimizer,
+        args.learning_rate,
+        decay_type=args.decay_type,
+        decay_steps=decay_steps,
+        injectable=args.decay_type is None,
+    )
+
+    if args.background_bias:
+        assert 0 < args.background_bias < 1, "background bias should between 0 and 1"
+
+    model, state = create_train_state(
+        args.model_type, num_classes, tx, jax.random.PRNGKey(args.seed)
+    )
+    if args.weights_path:
+        state = restore_state(state, args.weights_path)
+        print(f"Load weights {args.weights_path}.")
+
+    mesh = make_mesh(n_data=args.num_devices) if args.num_devices else make_mesh()
+    config = TrainerConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        log_dir=log_dir,
+        use_plateau=args.decay_type is None,
+        seed=args.seed,
+    )
+    # self-describing checkpoints for the inference loader
+    trainer_meta = {
+        "model_type": args.model_type,
+        "num_classes": num_classes,
+        "classes": class_names,
+        "params": pr.to_dict(),
+        "feature_type": args.feature_type,
+    }
+    trainer = Trainer(
+        model, state, args.model_type, num_classes, config,
+        background_bias=args.background_bias, mesh=mesh,
+        checkpoint_meta=trainer_meta,
+    )
+
+    print(
+        f"Train on {len(train_ds)} samples, val on {len(val_ds)} samples, "
+        f"with batch size {args.batch_size} on mesh {dict(mesh.shape)}."
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    save_params(os.path.join(log_dir, "params.json"))
+    with open(os.path.join(log_dir, "classes.txt"), "w") as f:
+        f.write("\n".join(class_names) + "\n")
+
+    history = trainer.fit(train_ds, val_ds)
+    best = max((h.val_accuracy for h in history), default=0.0)
+    print(f"Best val_accuracy: {best:.4f}")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_type", type=str, default="simple_cnn",
+                        choices=list(MODEL_TYPES),
+                        help="classifier model type, default=%(default)s")
+    parser.add_argument("--weights_path", type=str, default=None,
+                        help="pretrained checkpoint (.npz) for fine tune")
+    parser.add_argument("--train_data_path", type=str, required=True)
+    parser.add_argument("--val_data_path", type=str, default=None)
+    parser.add_argument("--val_split", type=float, default=0.15)
+    parser.add_argument("--classes_path", type=str, required=True)
+    parser.add_argument("--params_path", type=str, default=None)
+    parser.add_argument("--background_bias", type=float, default=None)
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--optimizer", type=str, default="adam",
+                        choices=["adam", "rmsprop", "sgd"])
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--decay_type", type=str, default=None,
+                        choices=[None, "cosine", "exponential", "polynomial",
+                                 "piecewise_constant"])
+    parser.add_argument("--epochs", type=int, default=100)
+    # TPU-native extensions
+    parser.add_argument("--feature_type", type=str, default="mfcc",
+                        choices=["mfcc", "bark"])
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="devices on the data axis (default: all)")
+    parser.add_argument("--log_dir", type=str, default=os.path.join("logs", "000"))
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())
