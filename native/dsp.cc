@@ -1,0 +1,229 @@
+#include "dsp.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <limits>
+
+namespace tsc {
+
+namespace {
+constexpr double kLogEps = std::numeric_limits<double>::epsilon();  // 2.22e-16
+
+double hertz_to_mels(double f) { return 1127.0 * std::log(1.0 + f / 700.0); }
+double mels_to_hertz(double m) { return 700.0 * (std::exp(m / 1127.0) - 1.0); }
+
+double hz2bark(double f) { return 6.0 * std::asinh(f / 600.0); }
+double bark2hz(double b) { return 600.0 * std::sinh(b / 6.0); }
+
+// The reference bark helpers always map bins with these default constants
+// regardless of the active config (see frontend/numpy_ref.py bark quirk).
+constexpr int kBarkDefaultSr = 16000;
+constexpr int kBarkDefaultNfft = 512;
+
+double fft2bark_default(double j) {
+  return hz2bark(j * kBarkDefaultSr / (kBarkDefaultNfft + 1));
+}
+double bark2fft_default(double fb) {
+  return (kBarkDefaultNfft + 1) * bark2hz(fb) / kBarkDefaultSr;
+}
+
+double bark_gain(double fb, double fc) {
+  if (fb >= fc - 2.5 && fb <= fc - 0.5) return std::pow(10.0, 2.5 * (fb - fc + 0.5));
+  if (fb > fc - 0.5 && fb < fc + 0.5) return 1.0;
+  if (fb >= fc + 0.5 && fb <= fc + 1.3) return std::pow(10.0, -2.5 * (fb - fc - 0.5));
+  return 0.0;
+}
+}  // namespace
+
+double safe_log(double x) { return std::log(std::max(x, kLogEps)); }
+
+void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
+  const size_t n = re.size();
+  // bit-reversal permutation
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = -2.0 * M_PI / static_cast<double>(len);
+    const double wr = std::cos(ang), wi = std::sin(ang);
+    for (size_t i = 0; i < n; i += len) {
+      double cur_r = 1.0, cur_i = 0.0;
+      for (size_t k = 0; k < len / 2; ++k) {
+        const size_t a = i + k, b = i + k + len / 2;
+        const double tr = re[b] * cur_r - im[b] * cur_i;
+        const double ti = re[b] * cur_i + im[b] * cur_r;
+        re[b] = re[a] - tr;
+        im[b] = im[a] - ti;
+        re[a] += tr;
+        im[a] += ti;
+        const double nr = cur_r * wr - cur_i * wi;
+        cur_i = cur_r * wi + cur_i * wr;
+        cur_r = nr;
+      }
+    }
+  }
+}
+
+double power_spectrum(const float* frame, int frame_len, int n_fft,
+                      std::vector<double>& powers) {
+  std::vector<double> re(n_fft, 0.0), im(n_fft, 0.0);
+  const int used = std::min(frame_len, n_fft);
+  for (int i = 0; i < used; ++i) re[i] = frame[i];
+  fft_radix2(re, im);
+  const int bins = n_fft / 2 + 1;
+  powers.resize(bins);
+  double total = 0.0;
+  for (int i = 0; i < bins; ++i) {
+    const double p = (re[i] * re[i] + im[i] * im[i]) / n_fft;
+    powers[i] = p;
+    total += p;
+  }
+  return total;
+}
+
+std::vector<double> mel_filterbank(int sample_rate, int num_filt, int fft_len) {
+  // num_filt+2 grid points from mel(0) to mel(sample_rate) — sonopy's
+  // high-edge-at-sample_rate quirk — mapped to bins by integer truncation.
+  std::vector<int> grid(num_filt + 2);
+  const double lo = hertz_to_mels(0.0), hi = hertz_to_mels(sample_rate);
+  for (int i = 0; i < num_filt + 2; ++i) {
+    const double mel = lo + (hi - lo) * i / (num_filt + 1);
+    grid[i] = static_cast<int>(mels_to_hertz(mel) * fft_len / sample_rate);
+  }
+  std::vector<double> banks(static_cast<size_t>(num_filt) * fft_len, 0.0);
+  for (int i = 0; i < num_filt; ++i) {
+    const int left = grid[i], middle = grid[i + 1], right = grid[i + 2];
+    for (int j = std::max(left, 0); j < std::min(middle, fft_len); ++j)
+      banks[i * fft_len + j] = double(j - left) / double(middle - left);
+    for (int j = std::max(middle, 0); j < std::min(right, fft_len); ++j)
+      banks[i * fft_len + j] = double(right - j) / double(right - middle);
+  }
+  return banks;
+}
+
+std::vector<double> bark_filterbank(int num_filt, int n_fft, int sample_rate) {
+  const int fft_len = n_fft / 2 + 1;
+  const double lo = hz2bark(0.0), hi = hz2bark(sample_rate / 2.0);
+  std::vector<double> points(num_filt + 4);
+  for (int i = 0; i < num_filt + 4; ++i)
+    points[i] = lo + (hi - lo) * i / (num_filt + 3);
+  std::vector<double> banks(static_cast<size_t>(num_filt) * fft_len, 0.0);
+  for (int i = 0; i < num_filt; ++i) {
+    const double fc = points[i + 2];
+    const int lo_bin = static_cast<int>(std::floor(bark2fft_default(points[i])));
+    const int hi_bin = static_cast<int>(std::floor(bark2fft_default(points[i + 4])));
+    for (int j = lo_bin; j < hi_bin && j < fft_len; ++j) {
+      if (j < 0) continue;
+      banks[i * fft_len + j] = std::abs(bark_gain(fft2bark_default(j), fc));
+    }
+  }
+  return banks;
+}
+
+std::vector<double> dct_matrix(int n) {
+  std::vector<double> d(static_cast<size_t>(n) * n);
+  const double scale = std::sqrt(2.0 / n);
+  for (int k = 0; k < n; ++k) {
+    const double row_scale = (k == 0) ? scale * std::sqrt(0.5) : scale;
+    for (int m = 0; m < n; ++m)
+      d[k * n + m] = row_scale * std::cos(M_PI * (2 * m + 1) * k / (2.0 * n));
+  }
+  return d;
+}
+
+Frontend::Frontend(const FrontendConfig& cfg) : cfg_(cfg) {
+  fft_len_ = cfg.n_fft / 2 + 1;
+  filterbank_ = cfg.bark
+                    ? bark_filterbank(cfg.n_filt, cfg.n_fft, cfg.sample_rate)
+                    : mel_filterbank(cfg.sample_rate, cfg.n_filt, fft_len_);
+  dct_ = dct_matrix(cfg.n_filt);
+}
+
+void Frontend::frame_features(const float* frame, int frame_len,
+                              float* out) const {
+  std::vector<double> powers;
+  const double total = power_spectrum(frame, frame_len, cfg_.n_fft, powers);
+
+  std::vector<double> mels(cfg_.n_filt);
+  for (int i = 0; i < cfg_.n_filt; ++i) {
+    double acc = 0.0;
+    const double* bank = &filterbank_[static_cast<size_t>(i) * fft_len_];
+    for (int j = 0; j < fft_len_; ++j) acc += powers[j] * bank[j];
+    mels[i] = safe_log(acc);
+  }
+  // DCT-II ortho, keep n_mfcc, coefficient 0 <- log total power
+  out[0] = static_cast<float>(safe_log(total));
+  for (int k = 1; k < cfg_.n_mfcc; ++k) {
+    double acc = 0.0;
+    const double* row = &dct_[static_cast<size_t>(k) * cfg_.n_filt];
+    for (int m = 0; m < cfg_.n_filt; ++m) acc += row[m] * mels[m];
+    out[k] = static_cast<float>(acc);
+  }
+}
+
+int Frontend::segment_features(const float* audio, int n, float* out) const {
+  const int frames = num_frames(n);
+  const int width = cfg_.n_mfcc;
+  std::vector<float> base(static_cast<size_t>(frames) * width);
+  for (int t = 0; t < frames; ++t)
+    frame_features(audio + static_cast<size_t>(t) * cfg_.hop_samples,
+                   cfg_.window_samples, &base[static_cast<size_t>(t) * width]);
+  if (cfg_.use_delta) {
+    add_deltas(base.data(), frames, width, out);
+  } else {
+    std::memcpy(out, base.data(), base.size() * sizeof(float));
+  }
+  return frames;
+}
+
+void add_deltas(const float* in, int frames, int width, float* out) {
+  for (int t = 0; t < frames; ++t) {
+    const float* row = in + static_cast<size_t>(t) * width;
+    float* orow = out + static_cast<size_t>(t) * 2 * width;
+    std::memcpy(orow, row, width * sizeof(float));
+    for (int j = 0; j < width; ++j)
+      orow[width + j] = (t == 0) ? 0.0f : row[j] - row[j - width];
+  }
+}
+
+}  // namespace tsc
+
+// ---- C ABI -----------------------------------------------------------------
+extern "C" {
+
+tsc_frontend_t tsc_frontend_create(int sample_rate, int window_samples,
+                                   int hop_samples, int n_fft, int n_filt,
+                                   int n_mfcc, int use_delta, int bark) {
+  tsc::FrontendConfig cfg;
+  cfg.sample_rate = sample_rate;
+  cfg.window_samples = window_samples;
+  cfg.hop_samples = hop_samples;
+  cfg.n_fft = n_fft;
+  cfg.n_filt = n_filt;
+  cfg.n_mfcc = n_mfcc;
+  cfg.use_delta = use_delta != 0;
+  cfg.bark = bark != 0;
+  return new tsc::Frontend(cfg);
+}
+
+void tsc_frontend_destroy(tsc_frontend_t fe) {
+  delete static_cast<tsc::Frontend*>(fe);
+}
+
+int tsc_frontend_segment(tsc_frontend_t fe, const float* audio, int n,
+                         float* out) {
+  if (!fe || !audio || !out) return -1;
+  return static_cast<tsc::Frontend*>(fe)->segment_features(audio, n, out);
+}
+
+int tsc_frontend_feature_size(tsc_frontend_t fe) {
+  return fe ? static_cast<tsc::Frontend*>(fe)->feature_size() : -1;
+}
+}

@@ -1,0 +1,388 @@
+#include "model.h"
+
+#include <cassert>
+#include <cmath>
+#include <cstring>
+#include <fstream>
+#include <stdexcept>
+
+#include "json.h"
+
+namespace tsc {
+
+// ---- binary format ---------------------------------------------------------
+
+NativeModel NativeModel::load(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) throw std::runtime_error("cannot open model file: " + path);
+  char magic[4];
+  f.read(magic, 4);
+  if (std::memcmp(magic, "TSCM", 4) != 0)
+    throw std::runtime_error("bad magic in " + path);
+  uint32_t version = 0, meta_len = 0;
+  f.read(reinterpret_cast<char*>(&version), 4);
+  f.read(reinterpret_cast<char*>(&meta_len), 4);
+  if (version != 1) throw std::runtime_error("unsupported model version");
+
+  NativeModel m;
+  m.meta_json.resize(meta_len);
+  f.read(m.meta_json.data(), meta_len);
+
+  while (true) {
+    uint32_t name_len = 0;
+    f.read(reinterpret_cast<char*>(&name_len), 4);
+    if (!f) break;
+    std::string name(name_len, '\0');
+    f.read(name.data(), name_len);
+    uint32_t ndim = 0;
+    f.read(reinterpret_cast<char*>(&ndim), 4);
+    Tensor t;
+    t.shape.resize(ndim);
+    f.read(reinterpret_cast<char*>(t.shape.data()), 4 * ndim);
+    t.data.resize(t.size());
+    f.read(reinterpret_cast<char*>(t.data.data()), 4 * t.size());
+    m.tensors.emplace(std::move(name), std::move(t));
+  }
+
+  // parse meta
+  json::Value meta = json::parse(m.meta_json);
+  m.model_type = meta.get_string("model_type", "simple_cnn");
+  m.num_classes = static_cast<int>(meta.get_number("num_classes", 0));
+  for (const auto& c : meta.get_array("classes"))
+    m.class_names.push_back(c.as_string());
+  const json::Value& p = meta["params"];
+  if (p.is_object()) {
+    m.sample_rate = static_cast<int>(p.get_number("sample_rate", 16000));
+    double window_t = p.get_number("window_t", 0.064);
+    double hop_t = p.get_number("hop_t", 0.032);
+    double buffer_t = p.get_number("buffer_t", 1.0);
+    m.window_samples = static_cast<int>(m.sample_rate * window_t + 0.5);
+    m.hop_samples = static_cast<int>(m.sample_rate * hop_t + 0.5);
+    int buffer_samples = static_cast<int>(m.sample_rate * buffer_t + 0.5);
+    buffer_samples = m.hop_samples * (buffer_samples / m.hop_samples);
+    m.buffer_samples = buffer_samples;
+    m.max_samples = static_cast<int>(buffer_t * m.sample_rate);
+    m.n_features = 1 + (buffer_samples - m.window_samples) / m.hop_samples;
+    m.n_fft = static_cast<int>(p.get_number("n_fft", 1024));
+    m.n_filt = static_cast<int>(p.get_number("n_filt", 20));
+    m.n_mfcc = static_cast<int>(p.get_number("n_mfcc", 20));
+    m.use_delta = p.get_number("use_delta", 0) != 0;
+    m.threshold_center = p.get_number("threshold_center", 0.2);
+    const json::Value& tc = p["threshold_config"];
+    if (tc.is_array() && !tc.get_array(nullptr).empty()) {
+      const auto& pair = tc.get_array(nullptr)[0].get_array(nullptr);
+      if (pair.size() == 2) {
+        m.threshold_mu = pair[0].as_number();
+        m.threshold_std = pair[1].as_number();
+      }
+    }
+  }
+  return m;
+}
+
+// ---- kernels ---------------------------------------------------------------
+
+namespace ops {
+
+static void pad_amounts(int in, int k, int stride, int* out, int* pad_lo) {
+  *out = (in + stride - 1) / stride;  // ceil — SAME padding
+  int total = std::max((*out - 1) * stride + k - in, 0);
+  *pad_lo = total / 2;
+}
+
+void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
+                 const Tensor& kernel, const float* bias, int stride,
+                 std::vector<float>& out, int& Ho, int& Wo) {
+  const int kh = kernel.shape[0], kw = kernel.shape[1];
+  const int Cout = kernel.shape[3];
+  assert(static_cast<int>(kernel.shape[2]) == Cin);
+  int ph, pw;
+  pad_amounts(H, kh, stride, &Ho, &ph);
+  pad_amounts(W, kw, stride, &Wo, &pw);
+  out.assign(static_cast<size_t>(Ho) * Wo * Cout, 0.0f);
+  for (int oy = 0; oy < Ho; ++oy) {
+    for (int ox = 0; ox < Wo; ++ox) {
+      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * Cout];
+      for (int ky = 0; ky < kh; ++ky) {
+        const int iy = oy * stride + ky - ph;
+        if (iy < 0 || iy >= H) continue;
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ix = ox * stride + kx - pw;
+          if (ix < 0 || ix >= W) continue;
+          const float* src = &in[(static_cast<size_t>(iy) * W + ix) * Cin];
+          const float* wrow =
+              &kernel.data[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
+          for (int ci = 0; ci < Cin; ++ci)
+            for (int co = 0; co < Cout; ++co)
+              dst[co] += src[ci] * wrow[ci * Cout + co];
+        }
+      }
+      if (bias)
+        for (int co = 0; co < Cout; ++co) dst[co] += bias[co];
+    }
+  }
+}
+
+void depthwise_same(const std::vector<float>& in, int H, int W, int C,
+                    const Tensor& kernel, int stride, std::vector<float>& out,
+                    int& Ho, int& Wo) {
+  const int kh = kernel.shape[0], kw = kernel.shape[1];
+  assert(kernel.shape[2] == 1 && static_cast<int>(kernel.shape[3]) == C);
+  int ph, pw;
+  pad_amounts(H, kh, stride, &Ho, &ph);
+  pad_amounts(W, kw, stride, &Wo, &pw);
+  out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
+  for (int oy = 0; oy < Ho; ++oy) {
+    for (int ox = 0; ox < Wo; ++ox) {
+      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * C];
+      for (int ky = 0; ky < kh; ++ky) {
+        const int iy = oy * stride + ky - ph;
+        if (iy < 0 || iy >= H) continue;
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ix = ox * stride + kx - pw;
+          if (ix < 0 || ix >= W) continue;
+          const float* src = &in[(static_cast<size_t>(iy) * W + ix) * C];
+          const float* wrow = &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
+          for (int c = 0; c < C; ++c) dst[c] += src[c] * wrow[c];
+        }
+      }
+    }
+  }
+}
+
+void relu6(std::vector<float>& x) {
+  for (auto& v : x) v = std::min(std::max(v, 0.0f), 6.0f);
+}
+
+void relu(std::vector<float>& x) {
+  for (auto& v : x) v = std::max(v, 0.0f);
+}
+
+void maxpool2(const std::vector<float>& in, int H, int W, int C,
+              std::vector<float>& out, int& Ho, int& Wo) {
+  Ho = H / 2;
+  Wo = W / 2;  // VALID 2x2 stride 2 (Keras MaxPooling2D default)
+  out.resize(static_cast<size_t>(Ho) * Wo * C);
+  for (int oy = 0; oy < Ho; ++oy)
+    for (int ox = 0; ox < Wo; ++ox)
+      for (int c = 0; c < C; ++c) {
+        float m = -1e30f;
+        for (int dy = 0; dy < 2; ++dy)
+          for (int dx = 0; dx < 2; ++dx)
+            m = std::max(
+                m, in[((static_cast<size_t>(oy * 2 + dy)) * W + ox * 2 + dx) * C + c]);
+        out[(static_cast<size_t>(oy) * Wo + ox) * C + c] = m;
+      }
+}
+
+void dense(const std::vector<float>& in, const Tensor& kernel,
+           const float* bias, std::vector<float>& out) {
+  const int D = kernel.shape[0], U = kernel.shape[1];
+  assert(static_cast<int>(in.size()) == D);
+  out.assign(U, 0.0f);
+  for (int d = 0; d < D; ++d) {
+    const float v = in[d];
+    const float* row = &kernel.data[static_cast<size_t>(d) * U];
+    for (int u = 0; u < U; ++u) out[u] += v * row[u];
+  }
+  if (bias)
+    for (int u = 0; u < U; ++u) out[u] += bias[u];
+}
+
+void softmax(std::vector<float>& x) {
+  float mx = -1e30f;
+  for (float v : x) mx = std::max(mx, v);
+  float sum = 0.0f;
+  for (auto& v : x) {
+    v = std::exp(v - mx);
+    sum += v;
+  }
+  for (auto& v : x) v /= sum;
+}
+
+}  // namespace ops
+
+// ---- model forward ---------------------------------------------------------
+
+namespace {
+
+inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+
+const Tensor& get(const std::map<std::string, Tensor>& t, const std::string& k) {
+  auto it = t.find(k);
+  if (it == t.end()) throw std::runtime_error("missing tensor: " + k);
+  return it->second;
+}
+
+// y = scale*(x-mean)/sqrt(var+eps) + bias, per channel (Keras eps 1e-3)
+void batchnorm(std::vector<float>& x, int C, const Tensor& scale,
+               const Tensor& bias, const Tensor& mean, const Tensor& var) {
+  const float eps = 1e-3f;
+  std::vector<float> a(C), b(C);
+  for (int c = 0; c < C; ++c) {
+    a[c] = scale.data[c] / std::sqrt(var.data[c] + eps);
+    b[c] = bias.data[c] - mean.data[c] * a[c];
+  }
+  const size_t n = x.size() / C;
+  for (size_t i = 0; i < n; ++i)
+    for (int c = 0; c < C; ++c) x[i * C + c] = x[i * C + c] * a[c] + b[c];
+}
+
+struct BlockSpec {
+  int features;
+  int stride;
+  bool inline_relu;
+  bool pool;
+};
+
+std::vector<float> cnn_forward(const NativeModel& m,
+                               const std::vector<float>& features,
+                               bool separable) {
+  const int T = m.n_features;
+  const int F = m.use_delta ? 2 * m.n_mfcc : m.n_mfcc;
+  std::vector<float> x = features;  // (T, F, 1) NHWC
+  int H = T, W = F, C = 1;
+
+  // inline relu on block 4 (both variants) and block 3 (lite only) —
+  // mirrors models/cnn.py block placement
+  const BlockSpec blocks[4] = {
+      {16, 1, false, true},
+      {32, 1, false, true},
+      {64, 2, separable, false},
+      {128, 1, true, true},
+  };
+  for (int bi = 0; bi < 4; ++bi) {
+    const std::string base = "params/block" + std::to_string(bi + 1) + "/";
+    const std::string stats = "batch_stats/block" + std::to_string(bi + 1) + "/";
+    std::vector<float> y;
+    int Ho, Wo;
+    if (separable) {
+      std::vector<float> mid;
+      ops::depthwise_same(x, H, W, C, get(m.tensors, base + "depthwise/kernel"),
+                          blocks[bi].stride, mid, Ho, Wo);
+      const Tensor& pk = get(m.tensors, base + "pointwise/kernel");
+      const Tensor& pb = get(m.tensors, base + "pointwise/bias");
+      std::vector<float> tmp;
+      int H2, W2;
+      ops::conv2d_same(mid, Ho, Wo, C, pk, pb.data.data(), 1, tmp, H2, W2);
+      y.swap(tmp);
+      Ho = H2;
+      Wo = W2;
+    } else {
+      ops::conv2d_same(x, H, W, C, get(m.tensors, base + "conv/kernel"), nullptr,
+                       blocks[bi].stride, y, Ho, Wo);
+    }
+    C = blocks[bi].features;
+    if (blocks[bi].inline_relu) ops::relu(y);
+    batchnorm(y, C, get(m.tensors, base + "bn/scale"),
+              get(m.tensors, base + "bn/bias"), get(m.tensors, stats + "bn/mean"),
+              get(m.tensors, stats + "bn/var"));
+    ops::relu6(y);
+    if (blocks[bi].pool) {
+      std::vector<float> pooled;
+      int Hp, Wp;
+      ops::maxpool2(y, Ho, Wo, C, pooled, Hp, Wp);
+      y.swap(pooled);
+      Ho = Hp;
+      Wo = Wp;
+    }
+    x.swap(y);
+    H = Ho;
+    W = Wo;
+  }
+
+  // flatten (HWC order) -> feature_dense -> relu6 -> score head
+  std::vector<float> feat;
+  ops::dense(x, get(m.tensors, "params/feature_dense/kernel"),
+             get(m.tensors, "params/feature_dense/bias").data.data(), feat);
+  ops::relu6(feat);
+  std::vector<float> logits;
+  ops::dense(feat, get(m.tensors, "params/score_predict/kernel"),
+             get(m.tensors, "params/score_predict/bias").data.data(), logits);
+  ops::softmax(logits);
+  return logits;
+}
+
+std::vector<float> rnn_forward(const NativeModel& m,
+                               const std::vector<float>& features, bool lstm) {
+  const int T = m.n_features;
+  const int D = m.use_delta ? 2 * m.n_mfcc : m.n_mfcc;
+  const std::string cell =
+      lstm ? "params/backbone/lstm_unit_0/" : "params/backbone/gru_unit_0/";
+  const Tensor& K = get(m.tensors, cell + "kernel");
+  const Tensor& R = get(m.tensors, cell + "recurrent_kernel");
+  const int U = R.shape[0];
+  std::vector<float> h(U, 0.0f), c(U, 0.0f);
+
+  if (!lstm) {
+    const Tensor& bi = get(m.tensors, cell + "bias_input");
+    const Tensor& br = get(m.tensors, cell + "bias_recurrent");
+    for (int t = 0; t < T; ++t) {
+      const float* x = &features[static_cast<size_t>(t) * D];
+      std::vector<float> xw(3 * U, 0.0f), hw(3 * U, 0.0f);
+      for (int d = 0; d < D; ++d) {
+        const float v = x[d];
+        const float* row = &K.data[static_cast<size_t>(d) * 3 * U];
+        for (int u = 0; u < 3 * U; ++u) xw[u] += v * row[u];
+      }
+      for (int d = 0; d < U; ++d) {
+        const float v = h[d];
+        const float* row = &R.data[static_cast<size_t>(d) * 3 * U];
+        for (int u = 0; u < 3 * U; ++u) hw[u] += v * row[u];
+      }
+      for (int u = 0; u < 3 * U; ++u) {
+        xw[u] += bi.data[u];
+        hw[u] += br.data[u];
+      }
+      for (int u = 0; u < U; ++u) {
+        const float z = sigmoidf(xw[u] + hw[u]);
+        const float r = sigmoidf(xw[U + u] + hw[U + u]);
+        const float cand = xw[2 * U + u] + r * hw[2 * U + u];  // linear act
+        h[u] = z * h[u] + (1.0f - z) * cand;
+      }
+    }
+  } else {
+    const Tensor& B = get(m.tensors, cell + "bias");
+    for (int t = 0; t < T; ++t) {
+      const float* x = &features[static_cast<size_t>(t) * D];
+      std::vector<float> g(4 * U, 0.0f);
+      for (int d = 0; d < D; ++d) {
+        const float v = x[d];
+        const float* row = &K.data[static_cast<size_t>(d) * 4 * U];
+        for (int u = 0; u < 4 * U; ++u) g[u] += v * row[u];
+      }
+      for (int d = 0; d < U; ++d) {
+        const float v = h[d];
+        const float* row = &R.data[static_cast<size_t>(d) * 4 * U];
+        for (int u = 0; u < 4 * U; ++u) g[u] += v * row[u];
+      }
+      for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];
+      for (int u = 0; u < U; ++u) {
+        const float i = sigmoidf(g[u]);
+        const float f = sigmoidf(g[U + u]);
+        const float cand = std::tanh(g[2 * U + u]);
+        const float o = sigmoidf(g[3 * U + u]);
+        c[u] = f * c[u] + i * cand;
+        h[u] = o * std::tanh(c[u]);
+      }
+    }
+  }
+
+  std::vector<float> logits;
+  ops::dense(h, get(m.tensors, "params/score_predict/kernel"),
+             get(m.tensors, "params/score_predict/bias").data.data(), logits);
+  ops::softmax(logits);
+  return logits;
+}
+
+}  // namespace
+
+std::vector<float> NativeModel::predict(const std::vector<float>& features) const {
+  if (model_type == "simple_cnn") return cnn_forward(*this, features, false);
+  if (model_type == "simple_cnn_lite") return cnn_forward(*this, features, true);
+  if (model_type == "simple_gru") return rnn_forward(*this, features, false);
+  if (model_type == "simple_lstm") return rnn_forward(*this, features, true);
+  throw std::runtime_error("unsupported model type: " + model_type);
+}
+
+}  // namespace tsc

@@ -1,0 +1,124 @@
+// Minimal RIFF/WAVE PCM reader/writer (mono-capable, 8/16/32-bit int).
+// Replaces the reference's vendored AudioFile.h with a ~100-line
+// self-contained implementation sufficient for the speech-commands
+// deployment contract (mono 16 kHz 16-bit PCM, speech_commands.h:186-211).
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace tsc {
+
+struct WavData {
+  int sample_rate = 0;
+  int num_channels = 0;
+  int bits_per_sample = 0;
+  std::vector<float> samples;  // interleaved, normalized to [-1, 1)
+};
+
+inline WavData read_wav(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) throw std::runtime_error("cannot open wav: " + path);
+  char riff[4], wave[4];
+  uint32_t riff_size = 0;
+  f.read(riff, 4);
+  f.read(reinterpret_cast<char*>(&riff_size), 4);
+  f.read(wave, 4);
+  if (std::memcmp(riff, "RIFF", 4) != 0 || std::memcmp(wave, "WAVE", 4) != 0)
+    throw std::runtime_error("not a RIFF/WAVE file: " + path);
+
+  WavData wav;
+  uint16_t audio_format = 1;
+  bool have_fmt = false;
+  while (f) {
+    char id[4];
+    uint32_t size = 0;
+    f.read(id, 4);
+    f.read(reinterpret_cast<char*>(&size), 4);
+    if (!f) break;
+    if (std::memcmp(id, "fmt ", 4) == 0) {
+      std::vector<char> fmt(size);
+      f.read(fmt.data(), size);
+      audio_format = *reinterpret_cast<uint16_t*>(&fmt[0]);
+      wav.num_channels = *reinterpret_cast<uint16_t*>(&fmt[2]);
+      wav.sample_rate = *reinterpret_cast<uint32_t*>(&fmt[4]);
+      wav.bits_per_sample = *reinterpret_cast<uint16_t*>(&fmt[14]);
+      have_fmt = true;
+    } else if (std::memcmp(id, "data", 4) == 0) {
+      if (!have_fmt) throw std::runtime_error("wav data before fmt chunk");
+      std::vector<char> raw(size);
+      f.read(raw.data(), size);
+      const int bytes = wav.bits_per_sample / 8;
+      const size_t n = size / bytes;
+      wav.samples.resize(n);
+      for (size_t i = 0; i < n; ++i) {
+        if (wav.bits_per_sample == 16) {
+          int16_t v;
+          std::memcpy(&v, &raw[i * 2], 2);
+          wav.samples[i] = static_cast<float>(v) / 32768.0f;
+        } else if (wav.bits_per_sample == 8) {
+          wav.samples[i] = (static_cast<uint8_t>(raw[i]) - 128) / 128.0f;
+        } else if (wav.bits_per_sample == 32) {
+          int32_t v;
+          std::memcpy(&v, &raw[i * 4], 4);
+          wav.samples[i] = static_cast<float>(v) / 2147483648.0f;
+        } else {
+          throw std::runtime_error("unsupported wav bit depth");
+        }
+      }
+      break;  // done
+    } else {
+      f.seekg(size + (size & 1), std::ios::cur);  // skip (pad to even)
+    }
+  }
+  if (audio_format != 1)
+    throw std::runtime_error("only PCM wav supported: " + path);
+  // mono mixdown by channel average
+  if (wav.num_channels > 1) {
+    const int ch = wav.num_channels;
+    std::vector<float> mono(wav.samples.size() / ch);
+    for (size_t i = 0; i < mono.size(); ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) acc += wav.samples[i * ch + c];
+      mono[i] = acc / ch;
+    }
+    wav.samples.swap(mono);
+    wav.num_channels = 1;
+  }
+  return wav;
+}
+
+inline void write_wav(const std::string& path, const std::vector<float>& samples,
+                      int sample_rate) {
+  std::ofstream f(path, std::ios::binary);
+  if (!f) throw std::runtime_error("cannot write wav: " + path);
+  const uint32_t data_size = static_cast<uint32_t>(samples.size() * 2);
+  const uint32_t riff_size = 36 + data_size;
+  const uint16_t fmt = 1, channels = 1, bits = 16;
+  const uint32_t byte_rate = sample_rate * 2;
+  const uint16_t block_align = 2;
+  const uint32_t fmt_size = 16;
+  f.write("RIFF", 4);
+  f.write(reinterpret_cast<const char*>(&riff_size), 4);
+  f.write("WAVE", 4);
+  f.write("fmt ", 4);
+  f.write(reinterpret_cast<const char*>(&fmt_size), 4);
+  f.write(reinterpret_cast<const char*>(&fmt), 2);
+  f.write(reinterpret_cast<const char*>(&channels), 2);
+  f.write(reinterpret_cast<const char*>(&sample_rate), 4);
+  f.write(reinterpret_cast<const char*>(&byte_rate), 4);
+  f.write(reinterpret_cast<const char*>(&block_align), 2);
+  f.write(reinterpret_cast<const char*>(&bits), 2);
+  f.write("data", 4);
+  f.write(reinterpret_cast<const char*>(&data_size), 4);
+  for (float s : samples) {
+    int16_t v = static_cast<int16_t>(std::max(-1.0f, std::min(1.0f, s)) * 32767.0f);
+    f.write(reinterpret_cast<const char*>(&v), 2);
+  }
+}
+
+}  // namespace tsc

@@ -1,0 +1,141 @@
+"""Native C++ layer parity tests: DSP frontend and model runtime vs the
+Python/JAX reference implementations (builds native/build/libtsc.so on
+demand)."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIB = os.path.join(REPO, "native", "build", "libtsc.so")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not os.path.exists(LIB):
+        subprocess.run(
+            ["cmake", "-B", "build", "-G", "Ninja", "."],
+            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["ninja", "-C", "build"],
+            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
+        )
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(11)
+    t = np.arange(16000) / 16000.0
+    return (
+        0.3 * np.sin(2 * np.pi * 500 * t)
+        + 0.2 * np.sin(2 * np.pi * 1800 * t)
+        + 0.05 * rng.standard_normal(16000)
+    ).astype(np.float32)
+
+
+def test_native_mfcc_matches_oracle(audio):
+    from tpu_speech_commands.frontend import numpy_ref
+    from tpu_speech_commands.native_binding import NativeFrontend
+
+    fe = NativeFrontend()
+    got = fe(audio)
+    expect = numpy_ref.mfcc_spec(
+        audio.astype(np.float64), 16000, (1024, 512), fft_size=1024,
+        num_filt=20, num_coeffs=20,
+    )
+    assert got.shape == expect.shape == (30, 20)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_native_bark_matches_oracle(audio):
+    from tpu_speech_commands.frontend import numpy_ref
+    from tpu_speech_commands.native_binding import NativeFrontend
+
+    fe = NativeFrontend(feature_type="bark")
+    got = fe(audio)
+    expect = numpy_ref.bfcc_spec(
+        audio.astype(np.float64), 16000, 1024, 512, fft_size=1024,
+        num_filt=20, num_coeffs=20,
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+CLASSES = ["background", "left", "right", "up", "down"]
+
+
+@pytest.mark.parametrize(
+    "model_type", ["simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"]
+)
+def test_native_model_matches_jax(model_type, tmp_path, audio):
+    from tpu_speech_commands.export.inference_loader import load_native
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.native_binding import NativeModel
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state(
+        model_type, len(CLASSES), tx, jax.random.PRNGKey(42)
+    )
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    native = NativeModel(blob)
+    assert native.num_classes == len(CLASSES)
+    assert native.n_features == 30 and native.feature_width == 20
+
+    jax_predict = load_native(ckpt)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        feats = rng.standard_normal((30, 20)).astype(np.float32)
+        native_scores = native.predict(feats)
+        jax_scores = jax_predict(feats[None])[0]
+        np.testing.assert_allclose(native_scores, jax_scores, rtol=1e-3, atol=1e-4)
+
+
+def test_native_apps_run(tmp_path, audio):
+    """End-to-end: export + run both compiled app binaries on a wav."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    out = subprocess.run(
+        [app, "--model", blob, "--wav", wav, "--top_k", "2"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "model invoke time" in out
+    assert any(c in out for c in CLASSES)
+
+    stream_app = os.path.join(REPO, "native", "build", "speech_commands_stream")
+    out = subprocess.run(
+        [stream_app, "--model", blob, "--wav", wav],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    # one bar per full chunk
+    assert out.count("\n") >= len(audio) // 1024
