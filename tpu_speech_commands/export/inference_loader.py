@@ -35,7 +35,7 @@ def load_native(model_path: str):
     import jax
     import jax.numpy as jnp
 
-    from ..models import features_to_input, init_model, score_fn
+    from ..models import init_model, score_fn
     from ..params import pr
     from ..training.checkpoints import load_checkpoint
 
@@ -67,10 +67,11 @@ def load_native(model_path: str):
         logits = model.apply(variables, feats, train=False)
         return score_fn(logits)
 
+    want_rank = 4 if model_type in ("simple_cnn", "simple_cnn_lite") else 3
+
     def predict(features):
-        feats = features_to_input(jnp.asarray(np.asarray(features, np.float32)),
-                                  model_type)
-        return np.asarray(forward(feats))
+        feats = _adapt_rank(np.asarray(features, np.float32), want_rank)
+        return np.asarray(forward(jnp.asarray(feats)))
 
     predict.model_type = model_type
     predict.num_classes = num_classes

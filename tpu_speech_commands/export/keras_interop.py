@@ -1,0 +1,174 @@
+"""Keras H5 weight interop: import reference-trained checkpoints.
+
+The reference trains tf.keras models and ships H5 files (train.py:31-37,
+model.py:42-44).  This module maps those H5 weight layouts onto this
+framework's flax parameter trees so reference users can bring their
+trained models across without retraining:
+
+    variables = load_keras_h5_weights("model.h5", "simple_cnn", num_classes)
+
+Layer-name mapping (Keras default names -> flax modules):
+  conv2d[_k]             -> block{k+1}/conv/kernel
+  separable_conv2d[_k]   -> block{k+1}/depthwise|pointwise
+  batch_normalization[_k]-> block{k+1}/bn (+ batch_stats mean/var)
+  dense[_k] (backbone)   -> feature_dense
+  score_predict          -> score_predict
+  gru_unit_0 / lstm_unit_0 -> backbone/gru_unit_0 | lstm_unit_0
+    (Keras gate orders [z,r,h] / [i,f,c,o] match the cells in models/rnn.py;
+     reset_after GRU bias (2, 3U) splits into bias_input/bias_recurrent)
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _collect_h5_weights(path: str) -> dict[str, np.ndarray]:
+    """Flatten an H5 (Keras save_model or save_weights layout) to
+    {path: array} with ':0' suffixes stripped."""
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name.split(":")[0]] = np.array(obj)
+
+        root.visititems(visit)
+    return out
+
+
+def _indexed(weights: dict[str, np.ndarray], base: str) -> list[str]:
+    """Top-level layer groups named base, base_1, base_2... in order."""
+    names = set()
+    pattern = re.compile(rf"(^|/)({re.escape(base)}(_\d+)?)/")
+    for key in weights:
+        m = pattern.search(key)
+        if m:
+            names.add(m.group(2))
+    def order(n):
+        m = re.search(r"_(\d+)$", n)
+        return int(m.group(1)) if m else 0
+    return sorted(names, key=order)
+
+
+def _layer_tensor(weights, layer, suffix):
+    for key, arr in weights.items():
+        if f"{layer}/" in key and key.endswith(suffix):
+            return arr
+    raise KeyError(f"{layer}/{suffix} not found in H5 weights")
+
+
+def load_keras_h5_weights(path: str, model_type: str, num_classes: int):
+    """Returns a flax `variables` dict ({'params', 'batch_stats'}) for
+    models/factory.get_model(model_type, num_classes)."""
+    w = _collect_h5_weights(path)
+    if model_type in ("simple_cnn", "simple_cnn_lite"):
+        return _load_cnn(w, model_type)
+    elif model_type in ("simple_gru", "simple_lstm"):
+        return _load_rnn(w, model_type)
+    raise ValueError(f"unsupported model type: {model_type}")
+
+
+def _load_cnn(w, model_type):
+    separable = model_type == "simple_cnn_lite"
+    params: dict = {}
+    batch_stats: dict = {}
+
+    conv_layers = _indexed(w, "separable_conv2d" if separable else "conv2d")
+    bn_layers = _indexed(w, "batch_normalization")
+    assert len(conv_layers) == 4, conv_layers
+    assert len(bn_layers) == 4, bn_layers
+    for i, (conv, bn) in enumerate(zip(conv_layers, bn_layers)):
+        block = f"block{i + 1}"
+        if separable:
+            depthwise = _layer_tensor(w, conv, "depthwise_kernel")
+            pointwise = _layer_tensor(w, conv, "pointwise_kernel")
+            bias = _layer_tensor(w, conv, "bias")
+            params[block] = {
+                # Keras depthwise (kh, kw, in, 1) -> flax grouped-conv (kh, kw, 1, in)
+                "depthwise": {"kernel": np.transpose(depthwise, (0, 1, 3, 2))},
+                "pointwise": {"kernel": pointwise, "bias": bias},
+            }
+        else:
+            params[block] = {"conv": {"kernel": _layer_tensor(w, conv, "kernel")}}
+        params[block]["bn"] = {
+            "scale": _layer_tensor(w, bn, "gamma"),
+            "bias": _layer_tensor(w, bn, "beta"),
+        }
+        batch_stats[block] = {
+            "bn": {
+                "mean": _layer_tensor(w, bn, "moving_mean"),
+                "var": _layer_tensor(w, bn, "moving_variance"),
+            }
+        }
+
+    dense_layers = [d for d in _indexed(w, "dense")]
+    assert dense_layers, "backbone dense layer not found"
+    params["feature_dense"] = {
+        "kernel": _layer_tensor(w, dense_layers[0], "kernel"),
+        "bias": _layer_tensor(w, dense_layers[0], "bias"),
+    }
+    params["score_predict"] = {
+        "kernel": _layer_tensor(w, "score_predict", "kernel"),
+        "bias": _layer_tensor(w, "score_predict", "bias"),
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _load_rnn(w, model_type):
+    cell = "gru" if model_type == "simple_gru" else "lstm"
+    units = _indexed(w, f"{cell}_unit_0")
+    assert units, f"{cell}_unit_0 not found"
+    layer = units[0]
+    kernel = _layer_tensor(w, layer, "kernel")
+    recurrent = _layer_tensor(w, layer, "recurrent_kernel")
+    bias = _layer_tensor(w, layer, "bias")
+
+    if cell == "gru":
+        # Keras reset_after GRU bias has shape (2, 3U): [input, recurrent]
+        assert bias.ndim == 2 and bias.shape[0] == 2, bias.shape
+        cell_params = {
+            "kernel": kernel,
+            "recurrent_kernel": recurrent,
+            "bias_input": bias[0],
+            "bias_recurrent": bias[1],
+        }
+    else:
+        cell_params = {
+            "kernel": kernel,
+            "recurrent_kernel": recurrent,
+            "bias": bias,
+        }
+
+    params = {
+        "backbone": {f"{cell}_unit_0": cell_params},
+        "score_predict": {
+            "kernel": _layer_tensor(w, "score_predict", "kernel"),
+            "bias": _layer_tensor(w, "score_predict", "bias"),
+        },
+    }
+    return {"params": params}
+
+
+def import_h5_checkpoint(h5_path: str, model_type: str, num_classes: int,
+                         output_path: str, classes: list[str] | None = None):
+    """Reference H5 -> native .npz checkpoint usable everywhere in this
+    framework (train fine-tune, eval, listen, export)."""
+    from ..params import pr
+    from ..training.checkpoints import save_checkpoint
+
+    variables = load_keras_h5_weights(h5_path, model_type, num_classes)
+    meta = {
+        "model_type": model_type,
+        "num_classes": num_classes,
+        "params": pr.to_dict(),
+        "imported_from": h5_path,
+    }
+    if classes:
+        meta["classes"] = classes
+    save_checkpoint(output_path, variables, meta)
+    return output_path
