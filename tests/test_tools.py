@@ -1,0 +1,149 @@
+"""Smoke tests for the audio_process / misc tool CLIs (run as subprocesses,
+like users do)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOLS = os.path.join(REPO, "tools", "audio_process")
+
+
+def run_tool(script, *args, cwd=TOOLS):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, os.path.join(cwd, script), *args],
+        capture_output=True, text=True, check=True, env=env, cwd=cwd,
+    )
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    from tpu_speech_commands.data.wav import save_audio
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "wavs"
+    d.mkdir()
+    t = np.arange(16000) / 16000.0
+    for i, freq in enumerate([300, 900]):
+        audio = 0.4 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(16000)
+        save_audio(str(d / f"tone_{i}.wav"), audio.astype(np.float32))
+    # a quiet file for silent_check
+    save_audio(str(d / "quiet.wav"), np.zeros(16000, np.float32))
+    return d
+
+
+def test_white_noise_and_add_noise(tmp_path, wav_dir):
+    noise_dir = tmp_path / "noise"
+    run_tool("white_noise.py", "--output_path", str(noise_dir), "--count", "2",
+             "--seed", "1")
+    assert len(os.listdir(noise_dir)) == 2
+    out = tmp_path / "noisy"
+    run_tool("add_noise.py", "--voice_path", str(wav_dir), "--noise_path",
+             str(noise_dir), "--output_path", str(out), "--snr", "10",
+             "--seed", "2")
+    assert len(os.listdir(out)) == 3
+
+
+def test_wav_filter(tmp_path, wav_dir):
+    out = tmp_path / "filtered"
+    run_tool("wav_filter.py", "--input_path", str(wav_dir), "--output_path",
+             str(out), "--filter_type", "lowpass", "--cutoff", "500")
+    from tpu_speech_commands.data.wav import load_wav
+
+    # 900 Hz tone heavily attenuated by the 500 Hz low-pass
+    orig = load_wav(str(wav_dir / "tone_1.wav"))
+    filt = load_wav(str(out / "tone_1.wav"))
+    assert np.abs(filt[2000:]).mean() < 0.3 * np.abs(orig[2000:]).mean()
+
+
+def test_audio_split_and_convert(tmp_path, wav_dir):
+    out = tmp_path / "split"
+    run_tool("audio_split.py", "--input_path", str(wav_dir / "tone_0.wav"),
+             "--output_path", str(out), "--chunk_time", "0.25")
+    assert len(os.listdir(out)) == 4
+    conv = tmp_path / "conv"
+    run_tool("audio_convert.py", "--input_path", str(out), "--output_path",
+             str(conv), "--sample_rate", "8000")
+    from tpu_speech_commands.data.wav import wav_duration_samples
+
+    n, rate = wav_duration_samples(os.path.join(conv, os.listdir(conv)[0]))
+    assert rate == 8000 and n == 2000
+
+
+def test_silent_check(wav_dir):
+    result = run_tool("silent_check.py", "--input_path", str(wav_dir))
+    assert "SILENT" in result.stdout and "quiet.wav" in result.stdout
+    assert "1/3 silent" in result.stdout
+
+
+def test_wav_check(wav_dir):
+    result = run_tool("wav_check.py", "--input_path", str(wav_dir))
+    assert "3 files, 0 bad format" in result.stdout
+
+
+def test_speech_duration_and_vad_clip(tmp_path):
+    from tpu_speech_commands.data.wav import save_audio
+
+    rng = np.random.default_rng(3)
+    # 0.5 s silence + 1 s loud tone + 0.5 s silence
+    t = np.arange(16000) / 16000.0
+    speech = 0.5 * np.sin(2 * np.pi * 400 * t)
+    audio = np.concatenate([
+        0.001 * rng.standard_normal(8000), speech,
+        0.001 * rng.standard_normal(8000),
+    ]).astype(np.float32)
+    src = tmp_path / "long.wav"
+    save_audio(str(src), audio)
+
+    result = run_tool("speech_duration_check.py", "--input_path", str(src))
+    assert "speech 0.5" in result.stdout
+
+    out = tmp_path / "clips"
+    run_tool("vad_clip.py", "--input_path", str(src), "--output_path", str(out))
+    assert len(os.listdir(out)) >= 1
+
+
+def test_wav_merge_and_reverb(tmp_path, wav_dir):
+    out = tmp_path / "merged"
+    run_tool("wav_merge.py", "--voice_path", str(wav_dir / "tone_0.wav"),
+             "--noise_path", str(wav_dir / "tone_1.wav"),
+             "--output_path", str(out), "--volume_ratio", "0.5")
+    assert os.listdir(out) == ["tone_0.wav"]
+    rev = tmp_path / "reverb"
+    run_tool("audio_reverberation.py", "--input_path", str(wav_dir / "tone_0.wav"),
+             "--output_path", str(rev), "--seed", "1")
+    assert os.listdir(rev) == ["tone_0.wav"]
+
+
+def test_annotation_update(tmp_path):
+    import json
+
+    src = tmp_path / "ann.jsonl"
+    src.write_text(json.dumps({"audio_filepath": "/old/a.wav", "text": "x"}) + "\n")
+    dst = tmp_path / "out.jsonl"
+    run_tool("annotation_update.py", "--annotation_file", str(src),
+             "--output_file", str(dst), "--old_prefix", "/old",
+             "--new_prefix", "/new")
+    assert json.loads(dst.read_text())["audio_filepath"] == "/new/a.wav"
+
+
+def test_mfcc_feature_comparator(tmp_path, wav_dir):
+    result = run_tool("mfcc_feature.py", "--audio_file", str(wav_dir / "tone_0.wav"),
+                      "--output_path", str(tmp_path / "cmp"))
+    assert "xla: max |delta| vs oracle" in result.stdout
+    assert os.path.exists(tmp_path / "cmp" / "mfcc_numpy_oracle.txt")
+
+
+def test_plot_tools(tmp_path, wav_dir):
+    misc = os.path.join(REPO, "tools", "misc")
+    out = tmp_path / "plot.png"
+    run_tool("plot_audio.py", "--audio_file", str(wav_dir / "tone_0.wav"),
+             "--output_file", str(out), cwd=misc)
+    assert out.exists()
+    out2 = tmp_path / "spec.png"
+    run_tool("plot_spectrogram.py", "--audio_file", str(wav_dir / "tone_0.wav"),
+             "--output_file", str(out2), cwd=misc)
+    assert out2.exists()
