@@ -89,7 +89,9 @@ def get_optimizer(
 
     tx = optax.inject_hyperparams(make)(learning_rate=lr) if injectable else make(lr)
 
-    if average_type and average_type.lower() == "lookahead":
-        # tfa.Lookahead(sync_period=6, slow_step_size=0.5) equivalent
-        tx = optax.lookahead(tx, sync_period=6, slow_step_size=0.5)
+    # average_type (ema/swa/lookahead) is implemented by the trainer's
+    # WeightAverager (training/averaging.py) rather than an optimizer wrap —
+    # optax.lookahead's LookaheadParams wrapping is incompatible with the
+    # plain TrainState param tree.
+    _ = average_type
     return tx

@@ -157,6 +157,7 @@ class Trainer:
         background_bias: float | None = None,
         mesh=None,
         checkpoint_meta: dict | None = None,
+        average_type: str | None = None,
     ):
         self.model = model
         self.model_type = model_type
@@ -172,6 +173,15 @@ class Trainer:
         data = batch_sharding(self.mesh)
         st_shard = state_sharding(state, self.mesh)
         self.state = jax.device_put(state, st_shard)
+        self._st_shard = st_shard
+
+        # EMA/SWA parameter averaging (model_utils.py:61-100 equivalent;
+        # 'lookahead' is handled inside the optimizer, see optim.py)
+        self.averager = None
+        if average_type and average_type.lower() in ("ema", "swa", "lookahead"):
+            from .averaging import WeightAverager
+
+            self.averager = WeightAverager(average_type, self.state.params)
 
         self._train_step = jax.jit(
             make_train_step(model, loss_fn, self.has_batch_stats),
@@ -207,18 +217,36 @@ class Trainer:
         ):
             xb, yb, mb = self._device_batch(x, y, valid)
             self.state, metrics = self._train_step(self.state, xb, yb, mb, rng)
+            if self.averager is not None:
+                synced = self.averager.observe(
+                    int(self.state.step), self.state.params
+                )
+                if synced is not None:  # lookahead fast-weights reset
+                    self.state = self.state.replace(
+                        params=jax.device_put(synced, self._st_shard.params)
+                    )
             totals["loss"] += float(metrics["loss"])
             totals["accuracy"] += float(metrics["accuracy"])
             n_batches += 1
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
+    def _eval_state(self):
+        """State used for evaluation/checkpoints — averaged params when
+        EMA/SWA is active (lookahead evaluates the live fast weights)."""
+        if self.averager is None or self.averager.average_type == "lookahead":
+            return self.state
+        return jax.device_put(
+            self.state.replace(params=self.averager.params), self._st_shard
+        )
+
     def evaluate(self, ds: Dataset) -> dict:
         sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+        eval_state = self._eval_state()
         for x, y, valid in batch_iterator(
             ds, self.config.batch_size, shuffle=False
         ):
             xb, yb, mb = self._device_batch(x, y, valid)
-            out = self._eval_step(self.state, xb, yb, mb)
+            out = self._eval_step(eval_state, xb, yb, mb)
             for k in sums:
                 sums[k] += float(out[k])
         count = max(sums["count"], 1.0)
@@ -292,7 +320,7 @@ class Trainer:
                 best_val_acc = em.val_accuracy
                 epochs_since_best = 0
                 plateau_wait = 0
-                ckpt.save_epoch(self.state, em)
+                ckpt.save_epoch(self._eval_state(), em)
             else:
                 epochs_since_best += 1
                 plateau_wait += 1
@@ -311,7 +339,7 @@ class Trainer:
                     print(f"Early stopping at epoch {epoch}.")
                 break
 
-        ckpt.save_final(self.state)
+        ckpt.save_final(self._eval_state())
         logger.close()
         return self.history
 

@@ -52,6 +52,7 @@ def main(args):
     tx = get_optimizer(
         args.optimizer,
         args.learning_rate,
+        average_type=args.average_type,
         decay_type=args.decay_type,
         decay_steps=decay_steps,
         injectable=args.decay_type is None,
@@ -86,7 +87,7 @@ def main(args):
     trainer = Trainer(
         model, state, args.model_type, num_classes, config,
         background_bias=args.background_bias, mesh=mesh,
-        checkpoint_meta=trainer_meta,
+        checkpoint_meta=trainer_meta, average_type=args.average_type,
     )
 
     print(
@@ -124,6 +125,9 @@ def build_parser():
                         choices=[None, "cosine", "exponential", "polynomial",
                                  "piecewise_constant"])
     parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--average_type", type=str, default=None,
+                        choices=[None, "ema", "swa", "lookahead"],
+                        help="weight averaging (model_utils.py:61-100 equiv)")
     # TPU-native extensions
     parser.add_argument("--feature_type", type=str, default="mfcc",
                         choices=["mfcc", "bark"])
