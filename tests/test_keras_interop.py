@@ -12,6 +12,8 @@ import jax.numpy as jnp
 tf = pytest.importorskip("tensorflow")
 
 from tpu_speech_commands.export.keras_interop import (
+    build_keras_model,
+    export_keras_h5,
     import_h5_checkpoint,
     load_keras_h5_weights,
 )
@@ -20,61 +22,12 @@ from tpu_speech_commands.models import get_model, input_shape
 NUM_CLASSES = 5
 
 
-def build_keras_cnn(lite: bool):
-    """Reference-architecture CNN via the public Keras API
-    (classifier/models/cnn.py topology)."""
-    from tensorflow.keras import layers
-
-    Conv = layers.SeparableConv2D if lite else layers.Conv2D
-    bias = lite
-    inp = layers.Input(shape=(30, 20, 1), name="feature_input")
-    x = inp
-    specs = [
-        (16, 1, None, True),
-        (32, 1, None, True),
-        (64, 2, "relu" if lite else None, False),
-        (128, 1, "relu", True),
-    ]
-    for filters, strides, act, pool in specs:
-        x = Conv(filters, 3, strides=strides, padding="same", use_bias=bias,
-                 activation=act)(x)
-        x = layers.BatchNormalization()(x)
-        x = layers.ReLU(6.0)(x)
-        if pool:
-            x = layers.MaxPooling2D()(x)
-    x = layers.Flatten()(x)
-    x = layers.Dropout(0.5)(x)
-    x = layers.Dense(128)(x)
-    x = layers.ReLU(6.0)(x)
-    out = layers.Dense(NUM_CLASSES, activation="softmax", name="score_predict")(x)
-    return tf.keras.Model(inp, out)
-
-
-def build_keras_rnn(lstm: bool):
-    from tensorflow.keras import layers
-
-    inp = layers.Input(shape=(30, 20), name="feature_input")
-    if lstm:
-        x = layers.LSTM(48, activation="tanh", dropout=0.2,
-                        name="lstm_unit_0")(inp)
-    else:
-        x = layers.GRU(48, activation="linear", dropout=0.2,
-                       name="gru_unit_0")(inp)
-    out = layers.Dense(NUM_CLASSES, activation="softmax", name="score_predict")(x)
-    return tf.keras.Model(inp, out)
-
-
 @pytest.mark.parametrize(
-    "model_type,builder",
-    [
-        ("simple_cnn", lambda: build_keras_cnn(False)),
-        ("simple_cnn_lite", lambda: build_keras_cnn(True)),
-        ("simple_gru", lambda: build_keras_rnn(False)),
-        ("simple_lstm", lambda: build_keras_rnn(True)),
-    ],
+    "model_type",
+    ["simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"],
 )
-def test_h5_import_score_parity(model_type, builder, tmp_path):
-    keras_model = builder()
+def test_h5_import_score_parity(model_type, tmp_path):
+    keras_model = build_keras_model(model_type, NUM_CLASSES)
     h5_path = str(tmp_path / "model.h5")
     keras_model.save(h5_path, save_format="h5")
 
@@ -92,8 +45,34 @@ def test_h5_import_score_parity(model_type, builder, tmp_path):
     np.testing.assert_allclose(ours, keras_scores, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("model_type", ["simple_cnn_lite", "simple_gru"])
+def test_export_keras_h5_roundtrip(model_type, tmp_path):
+    """our checkpoint -> H5 -> tf.keras scores == our scores."""
+    import jax
+
+    from tpu_speech_commands.export.inference_loader import load_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state(model_type, NUM_CLASSES, tx,
+                                      jax.random.PRNGKey(5))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": model_type,
+                                  "num_classes": NUM_CLASSES})
+    h5 = str(tmp_path / "m.h5")
+    export_keras_h5(ckpt, h5)
+
+    keras_model = tf.keras.models.load_model(h5, compile=False)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3,) + input_shape(model_type)).astype(np.float32)
+    keras_scores = np.asarray(keras_model(x, training=False))
+    ours = load_native(ckpt)(x)
+    np.testing.assert_allclose(keras_scores, ours, rtol=1e-4, atol=1e-5)
+
+
 def test_import_h5_checkpoint_roundtrip(tmp_path):
-    keras_model = build_keras_cnn(False)
+    keras_model = build_keras_model("simple_cnn", NUM_CLASSES)
     h5_path = str(tmp_path / "model.h5")
     keras_model.save(h5_path, save_format="h5")
     out = str(tmp_path / "imported.npz")

@@ -81,7 +81,14 @@ def extract_features_batched(
     p = params or pr
     fn = jax.jit(lambda a: frontend(a))
     feats = []
-    for start in range(0, len(wav_paths), batch_size):
+    starts = range(0, len(wav_paths), batch_size)
+    try:  # progress bar like the reference extraction loop (data.py:38)
+        from tqdm import tqdm
+
+        starts = tqdm(starts, desc="extract features", unit="batch")
+    except ImportError:
+        pass
+    for start in starts:
         chunk = wav_paths[start : start + batch_size]
         audio = load_audio_batch(chunk, p)
         if len(chunk) < batch_size:

@@ -154,6 +154,118 @@ def _load_rnn(w, model_type):
     return {"params": params}
 
 
+def build_keras_model(model_type: str, num_classes: int, n_features: int = 30,
+                      feature_size: int = 20):
+    """Construct the reference-architecture tf.keras model for a model type
+    (topology of classifier/models/{cnn,rnn}.py, via the public Keras API).
+    Used for H5 export and as the parity fixture in tests."""
+    import tensorflow as tf
+    from tensorflow.keras import layers
+
+    if model_type in ("simple_cnn", "simple_cnn_lite"):
+        lite = model_type == "simple_cnn_lite"
+        Conv = layers.SeparableConv2D if lite else layers.Conv2D
+        inp = layers.Input(shape=(n_features, feature_size, 1),
+                           name="feature_input")
+        x = inp
+        specs = [
+            (16, 1, None, True),
+            (32, 1, None, True),
+            (64, 2, "relu" if lite else None, False),
+            (128, 1, "relu", True),
+        ]
+        for filters, strides, act, pool in specs:
+            x = Conv(filters, 3, strides=strides, padding="same",
+                     use_bias=lite, activation=act)(x)
+            x = layers.BatchNormalization()(x)
+            x = layers.ReLU(6.0)(x)
+            if pool:
+                x = layers.MaxPooling2D()(x)
+        x = layers.Flatten()(x)
+        x = layers.Dropout(0.5)(x)
+        x = layers.Dense(128)(x)
+        x = layers.ReLU(6.0)(x)
+    elif model_type in ("simple_gru", "simple_lstm"):
+        inp = layers.Input(shape=(n_features, feature_size),
+                           name="feature_input")
+        if model_type == "simple_lstm":
+            x = layers.LSTM(48, activation="tanh", dropout=0.2,
+                            name="lstm_unit_0")(inp)
+        else:
+            x = layers.GRU(48, activation="linear", dropout=0.2,
+                           name="gru_unit_0")(inp)
+    else:
+        raise ValueError(f"unsupported model type: {model_type}")
+    out = layers.Dense(num_classes, activation="softmax",
+                       name="score_predict")(x)
+    return tf.keras.Model(inp, out)
+
+
+def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
+    """Native .npz checkpoint -> reference-compatible Keras H5 model.
+
+    Inverse of `import_h5_checkpoint` — lets models trained here be used
+    by the reference's eval/listen/converter tooling unchanged.
+    """
+    import numpy as np
+
+    from ..params import pr
+    from ..training.checkpoints import load_checkpoint
+
+    variables, meta = load_checkpoint(checkpoint_path)
+    model_type = meta["model_type"]
+    num_classes = meta["num_classes"]
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats") or {}
+
+    keras_model = build_keras_model(
+        model_type, num_classes, pr.n_features, pr.feature_size
+    )
+
+    # map by layer order (Keras auto-name counters are process-global, so
+    # name-index parsing is unreliable)
+    conv_i = 0
+    bn_i = 0
+    for layer in keras_model.layers:
+        name = layer.name
+        if not layer.weights:
+            continue
+        if name.startswith(("conv2d", "separable_conv2d")):
+            conv_i += 1
+            block = params[f"block{conv_i}"]
+            if name.startswith("separable"):
+                layer.set_weights([
+                    np.transpose(block["depthwise"]["kernel"], (0, 1, 3, 2)),
+                    block["pointwise"]["kernel"],
+                    block["pointwise"]["bias"],
+                ])
+            else:
+                layer.set_weights([block["conv"]["kernel"]])
+        elif name.startswith("batch_normalization"):
+            bn_i += 1
+            block = params[f"block{bn_i}"]["bn"]
+            stats = batch_stats[f"block{bn_i}"]["bn"]
+            layer.set_weights([block["scale"], block["bias"],
+                               stats["mean"], stats["var"]])
+        elif name == "score_predict":
+            layer.set_weights([params["score_predict"]["kernel"],
+                               params["score_predict"]["bias"]])
+        elif name.startswith("dense"):
+            layer.set_weights([params["feature_dense"]["kernel"],
+                               params["feature_dense"]["bias"]])
+        elif name.startswith("gru_unit"):
+            cell = params["backbone"]["gru_unit_0"]
+            bias = np.stack([cell["bias_input"], cell["bias_recurrent"]])
+            layer.set_weights([cell["kernel"], cell["recurrent_kernel"], bias])
+        elif name.startswith("lstm_unit"):
+            cell = params["backbone"]["lstm_unit_0"]
+            layer.set_weights([cell["kernel"], cell["recurrent_kernel"],
+                               cell["bias"]])
+
+    keras_model.save(output_file, save_format="h5")
+    return output_file
+
+
 def import_h5_checkpoint(h5_path: str, model_type: str, num_classes: int,
                          output_path: str, classes: list[str] | None = None):
     """Reference H5 -> native .npz checkpoint usable everywhere in this

@@ -128,7 +128,8 @@ class Listener:
             score = self.threshold_decoder.decode(score)
         self.on_prediction(index, score)
         if self.detector.update(index, score):
-            self.on_activation(index)
+            # the activation chime only plays in live-mic mode (listen.py:361)
+            self.on_activation(index, play_activate=getattr(self, "_mic_mode", False))
             if on_activation:
                 on_activation(index)
         return index, score
@@ -145,8 +146,10 @@ class Listener:
         cutoff = round(self.sensitivity * width)
         print(bar[:cutoff] + bar[cutoff:].replace("X", "x") + class_name)
 
-    def on_activation(self, index: int):
+    def on_activation(self, index: int, play_activate: bool = False):
         print("command {} detected!".format(self.class_names[index]))
+        if play_activate:
+            self.play_activate_audio()
         if self.save_dir:
             save_class_dir = os.path.join(self.save_dir, self.class_names[index])
             os.makedirs(save_class_dir, exist_ok=True)
@@ -156,6 +159,32 @@ class Listener:
             save_audio(wav_path, np.asarray(self.state["audio"]))
             print("Saved to " + wav_path + ".")
             self.record_num += 1
+
+    def play_activate_audio(self, wav_path: str | None = None):
+        """Play the activation chime (mic mode; listen.py:294-297,311-339).
+        No-op with a notice when PyAudio is unavailable."""
+        wav_path = wav_path or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "assets", "activate.wav",
+        )
+        try:
+            import pyaudio
+        except ImportError:
+            print("(PyAudio not installed — skipping activation chime)")
+            return
+        with wave.open(wav_path, "rb") as wf:
+            p = pyaudio.PyAudio()
+            stream = p.open(
+                format=p.get_format_from_width(wf.getsampwidth()),
+                channels=wf.getnchannels(), rate=wf.getframerate(), output=True,
+            )
+            data = wf.readframes(1024)
+            while data:
+                stream.write(data)
+                data = wf.readframes(1024)
+            stream.stop_stream()
+            stream.close()
+            p.terminate()
 
     # -- run loops -----------------------------------------------------------
 
@@ -194,6 +223,7 @@ class Listener:
             input=True,
             frames_per_buffer=self.chunk_size,
         )
+        self._mic_mode = True
         try:
             while True:
                 data = stream.read(self.chunk_size, exception_on_overflow=False)
