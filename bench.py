@@ -25,6 +25,9 @@ def bench(batch_size: int = 4096, iters: int = 30, warmup: int = 5,
     from tpu_speech_commands.frontend import Frontend
     from tpu_speech_commands.models import features_to_input, init_model, score_fn
     from tpu_speech_commands.params import pr
+    from tpu_speech_commands.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if use_pallas:
         from tpu_speech_commands.ops import make_fused_frontend

@@ -11,6 +11,7 @@ import time
 
 import numpy as np
 
+from tpu_speech_commands.utils.compilation_cache import enable_compilation_cache
 from tpu_speech_commands.data.dataset import get_dataset
 from tpu_speech_commands.evaluation import plot_confusion_matrix
 from tpu_speech_commands.export.inference_loader import load_inference_model
@@ -36,6 +37,7 @@ def evaluate_with_predict_fn(predict_fn, ds, class_names, batch_size=512):
 
 
 def main(args):
+    enable_compilation_cache()
     class_names = get_classes(args.classes_path)
     ensure_background_first(class_names)
 

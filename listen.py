@@ -8,6 +8,7 @@ loaded model to a new checkpoint file.
 import argparse
 import sys
 
+from tpu_speech_commands.utils.compilation_cache import enable_compilation_cache
 from tpu_speech_commands.streaming import Listener
 
 
@@ -32,6 +33,7 @@ def build_parser():
 
 
 def main():
+    enable_compilation_cache()
     args = build_parser().parse_args()
     kwargs = {k: v for k, v in vars(args).items()
               if k not in ("dump_model", "output_model_file")}

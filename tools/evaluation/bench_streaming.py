@@ -34,6 +34,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_speech_commands.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from tpu_speech_commands.frontend import Frontend
     from tpu_speech_commands.models import features_to_input, init_model, score_fn
     from tpu_speech_commands.params import pr
@@ -46,19 +52,34 @@ def main():
     )
 
     n_streams = args.streams
+    rng = np.random.default_rng(0)
 
-    def fused(states, chunks):
-        states, feats = jax.vmap(update)(states, chunks)
-        x = features_to_input(feats, args.model_type)
-        logits = model.apply(variables, x, train=False)
-        return states, score_fn(logits)
+    if n_streams == 1:
+        # single-stream: exactly the fused step Listener runs in production
+        def fused(state, chunk):
+            state, feats = update(state, chunk)
+            x = features_to_input(feats[None], args.model_type)
+            logits = model.apply(variables, x, train=False)
+            return state, score_fn(logits)
+
+        states = init_stream_state(pr)
+        chunks = jnp.asarray(
+            rng.standard_normal(args.chunk_size).astype(np.float32)
+        )
+    else:
+
+        def fused(states, chunks):
+            states, feats = jax.vmap(update)(states, chunks)
+            x = features_to_input(feats, args.model_type)
+            logits = model.apply(variables, x, train=False)
+            return states, score_fn(logits)
+
+        states = jax.vmap(lambda _: init_stream_state(pr))(jnp.arange(n_streams))
+        chunks = jnp.asarray(
+            rng.standard_normal((n_streams, args.chunk_size)).astype(np.float32)
+        )
 
     step = jax.jit(fused, donate_argnums=(0,))
-    states = jax.vmap(lambda _: init_stream_state(pr))(jnp.arange(n_streams))
-    rng = np.random.default_rng(0)
-    chunks = jnp.asarray(
-        rng.standard_normal((n_streams, args.chunk_size)).astype(np.float32)
-    )
 
     for _ in range(20):  # warmup
         states, scores = step(states, chunks)

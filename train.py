@@ -11,6 +11,7 @@ import os
 import jax
 import numpy as np
 
+from tpu_speech_commands.utils.compilation_cache import enable_compilation_cache
 from tpu_speech_commands.data.dataset import get_dataset
 from tpu_speech_commands.frontend import Frontend
 from tpu_speech_commands.models import MODEL_TYPES
@@ -27,6 +28,7 @@ from tpu_speech_commands.utils import ensure_background_first, get_classes
 
 
 def main(args):
+    enable_compilation_cache()
     log_dir = args.log_dir
     class_names = get_classes(args.classes_path)
     ensure_background_first(class_names)
