@@ -1,0 +1,38 @@
+"""Packed feature-cache tests."""
+import os
+
+import numpy as np
+
+from tpu_speech_commands.data.dataset import (
+    PACKED_CACHE,
+    get_dataset,
+    pack_cache,
+)
+from tpu_speech_commands.data.synthetic import make_synthetic_dataset
+from tpu_speech_commands.frontend import Frontend
+
+CLASSES = ["background", "left", "right"]
+
+
+def test_pack_cache_roundtrip(tmp_path):
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES, samples_per_class=4)
+    base = get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)
+    packed_path = pack_cache(root, CLASSES)
+    assert os.path.basename(packed_path) == PACKED_CACHE
+
+    packed = get_dataset(root, CLASSES, use_cache=True)
+    assert len(packed) == len(base) == 12
+    np.testing.assert_allclose(
+        np.sort(packed.x.sum((1, 2))), np.sort(base.x.sum((1, 2))), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.sort(packed.y), np.sort(base.y))
+
+
+def test_packed_cache_invalidated_by_class_change(tmp_path):
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES, samples_per_class=3)
+    get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)
+    pack_cache(root, CLASSES)
+    # different class ordering -> packed file rejected, legacy cache used
+    reordered = ["background", "right", "left"]
+    ds = get_dataset(root, reordered, use_cache=True)
+    assert len(ds) == 9

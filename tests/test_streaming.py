@@ -139,6 +139,30 @@ def test_stream_matches_reference_replica(chunk_size):
         )
 
 
+def test_multi_stream_batched_update_matches_per_stream():
+    """The leading-stream-axis path must equal independent streams."""
+    p = ListenerParams()
+    fe = Frontend(p)
+    update = jax.jit(make_stream_update(fe, 1024))
+    rng = np.random.default_rng(9)
+    audios = [rng.standard_normal(4096).astype(np.float32) for _ in range(3)]
+
+    batched = init_stream_state(p, n_streams=3)
+    singles = [init_stream_state(p) for _ in range(3)]
+    for c in range(4):
+        chunk_batch = jnp.asarray(
+            np.stack([a[c * 1024 : (c + 1) * 1024] for a in audios])
+        )
+        batched, bfeats = update(batched, chunk_batch)
+        for s in range(3):
+            singles[s], sfeats = update(
+                singles[s], jnp.asarray(audios[s][c * 1024 : (c + 1) * 1024])
+            )
+            np.testing.assert_allclose(
+                np.asarray(bfeats)[s], np.asarray(sfeats), rtol=1e-5, atol=1e-5
+            )
+
+
 def test_stream_audio_ring_matches_reference():
     p = ListenerParams()
     fe = Frontend(p)

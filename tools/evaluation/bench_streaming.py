@@ -54,30 +54,18 @@ def main():
     n_streams = args.streams
     rng = np.random.default_rng(0)
 
-    if n_streams == 1:
-        # single-stream: exactly the fused step Listener runs in production
-        def fused(state, chunk):
-            state, feats = update(state, chunk)
-            x = features_to_input(feats[None], args.model_type)
-            logits = model.apply(variables, x, train=False)
-            return state, score_fn(logits)
+    # the streamer natively supports a leading stream axis (shared chunk
+    # cadence) — same compiled shape family as the single-stream Listener
+    def fused(states, chunks):
+        states, feats = update(states, chunks)
+        x = features_to_input(feats if n_streams > 1 else feats[None],
+                              args.model_type)
+        logits = model.apply(variables, x, train=False)
+        return states, score_fn(logits)
 
-        states = init_stream_state(pr)
-        chunks = jnp.asarray(
-            rng.standard_normal(args.chunk_size).astype(np.float32)
-        )
-    else:
-
-        def fused(states, chunks):
-            states, feats = jax.vmap(update)(states, chunks)
-            x = features_to_input(feats, args.model_type)
-            logits = model.apply(variables, x, train=False)
-            return states, score_fn(logits)
-
-        states = jax.vmap(lambda _: init_stream_state(pr))(jnp.arange(n_streams))
-        chunks = jnp.asarray(
-            rng.standard_normal((n_streams, args.chunk_size)).astype(np.float32)
-        )
+    states = init_stream_state(pr, n_streams if n_streams > 1 else None)
+    shape = (n_streams, args.chunk_size) if n_streams > 1 else (args.chunk_size,)
+    chunks = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
     step = jax.jit(fused, donate_argnums=(0,))
 

@@ -115,6 +115,35 @@ def _load_cached_class(feat_dir: str) -> np.ndarray:
     return np.stack([np.load(f) for f in files]) if files else None
 
 
+PACKED_CACHE = "features_packed.npz"
+
+
+def pack_cache(dataset_path: str, class_names: list[str]) -> str:
+    """Consolidate the per-sample .npy cache into one packed file.
+
+    At Google-Speech-Commands scale the legacy layout is ~100k tiny files;
+    the packed form loads in one read and serves `get_dataset` via
+    memory-mapped arrays.  The legacy cache remains valid (reference
+    compatibility) — packing is an optimisation, not a migration.
+    """
+    ds = get_dataset(dataset_path, class_names, use_cache=True)
+    out = os.path.join(dataset_path, PACKED_CACHE)
+    np.savez(out, x=ds.x, y=ds.y,
+             classes=np.array(class_names, dtype=np.str_))
+    return out
+
+
+def _load_packed(dataset_path: str, class_names: list[str]):
+    path = os.path.join(dataset_path, PACKED_CACHE)
+    if not os.path.exists(path):
+        return None
+    data = np.load(path, mmap_mode="r")
+    stored = [str(c) for c in data["classes"]]
+    if stored != list(class_names):
+        return None  # class list changed; fall back to per-sample cache
+    return Dataset(np.asarray(data["x"]), np.asarray(data["y"]))
+
+
 def get_dataset(
     dataset_path: str,
     class_names: list[str],
@@ -135,7 +164,10 @@ def get_dataset(
     feature_root = os.path.join(dataset_path, "features")
     xs, ys = [], []
 
-    if use_cache and os.path.isdir(feature_root):
+    packed = _load_packed(dataset_path, class_names) if use_cache else None
+    if packed is not None:
+        xs, ys = [packed.x], [packed.y]
+    elif use_cache and os.path.isdir(feature_root):
         for idx, class_name in enumerate(class_names):
             feats = _load_cached_class(os.path.join(feature_root, class_name.lower()))
             if feats is None:

@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 
 
 def _load_for_export(checkpoint_path: str):

@@ -46,14 +46,17 @@ class StreamConfig:
         return 1 + (self.chunk_size - 1) // self.params.hop_samples
 
 
-def init_stream_state(params: ListenerParams | None = None):
+def init_stream_state(params: ListenerParams | None = None,
+                      n_streams: int | None = None):
     """Zeroed streaming state (audio ring, pending count, feature buffer) —
-    mirrors listen.py:90-92."""
+    mirrors listen.py:90-92.  With n_streams, state carries a leading
+    stream axis (all streams share one chunk cadence, hence one `fill`)."""
     p = params or pr
+    lead = () if n_streams is None else (n_streams,)
     return {
-        "audio": jnp.zeros(p.buffer_samples, jnp.float32),
+        "audio": jnp.zeros(lead + (p.buffer_samples,), jnp.float32),
         "fill": jnp.asarray(0, jnp.int32),
-        "feats": jnp.zeros((p.n_features, p.n_mfcc), jnp.float32),
+        "feats": jnp.zeros(lead + (p.n_features, p.n_mfcc), jnp.float32),
     }
 
 
@@ -70,7 +73,11 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
     assert chunk_size <= buf_len, "chunk_size exceeds audio buffer"
 
     def update(state, chunk):
-        audio = jnp.concatenate([state["audio"][chunk_size:], chunk])
+        """state/chunk may carry identical leading stream axes; `fill` is a
+        shared scalar (all streams advance on the same chunk cadence)."""
+        audio = jnp.concatenate(
+            [state["audio"][..., chunk_size:], chunk], axis=-1
+        )
         fill = state["fill"] + chunk_size
 
         n_new = jnp.where(fill >= window, 1 + (fill - window) // hop, 0)
@@ -80,16 +87,18 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
         start0 = buf_len - fill
         frames = jnp.stack(
             [
-                jax.lax.dynamic_slice(audio, (start0 + j * hop,), (window,))
+                jax.lax.dynamic_slice_in_dim(audio, start0 + j * hop, window,
+                                             axis=-1)
                 for j in range(max_new)
-            ]
-        )
-        new_feats = frontend.features_from_frames(frames)  # (max_new, n_mfcc)
+            ],
+            axis=-2,
+        )  # (..., max_new, window)
+        new_feats = frontend.features_from_frames(frames)  # (..., max_new, F)
 
         # roll the feature buffer left by n_new and append the n_new valid rows
-        stacked = jnp.concatenate([state["feats"], new_feats])
-        feats = jax.lax.dynamic_slice(
-            stacked, (n_new, 0), (p.n_features, p.n_mfcc)
+        stacked = jnp.concatenate([state["feats"], new_feats], axis=-2)
+        feats = jax.lax.dynamic_slice_in_dim(
+            stacked, n_new, p.n_features, axis=-2
         )
         fill = fill - n_new * hop
         new_state = {"audio": audio, "fill": fill, "feats": feats}

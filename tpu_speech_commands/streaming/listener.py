@@ -24,7 +24,7 @@ import numpy as np
 from ..data.wav import buffer_to_audio, save_audio
 from ..export.inference_loader import load_inference_model
 from ..frontend.dsp import Frontend
-from ..models import features_to_input, is_cnn, score_fn
+from ..models import features_to_input, score_fn
 from ..params import inject_params, pr
 from ..utils import ensure_background_first, get_classes
 from .decoder import ThresholdDecoder

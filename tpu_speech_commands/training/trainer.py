@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
 
@@ -31,7 +31,7 @@ from flax.training import train_state
 
 from ..data.dataset import Dataset, batch_iterator
 from ..losses import make_loss_fn
-from ..models import features_to_input, init_model, is_cnn
+from ..models import features_to_input, init_model
 from ..parallel import batch_sharding, make_mesh, replicated, state_sharding
 from ..utils import path_names
 from .checkpoints import CheckpointManager

@@ -63,8 +63,12 @@ def main(args):
     if args.background_bias:
         assert 0 < args.background_bias < 1, "background bias should between 0 and 1"
 
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     model, state = create_train_state(
-        args.model_type, num_classes, tx, jax.random.PRNGKey(args.seed)
+        args.model_type, num_classes, tx, jax.random.PRNGKey(args.seed),
+        dtype=dtype,
     )
     if args.weights_path:
         state = restore_state(state, args.weights_path)
@@ -133,6 +137,9 @@ def build_parser():
     # TPU-native extensions
     parser.add_argument("--feature_type", type=str, default="mfcc",
                         choices=["mfcc", "bark"])
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="activation compute dtype (params stay fp32)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices on the data axis (default: all)")
     parser.add_argument("--log_dir", type=str, default=os.path.join("logs", "000"))
