@@ -73,6 +73,17 @@ def main(args):
     if args.weights_path:
         state = restore_state(state, args.weights_path)
         print(f"Load weights {args.weights_path}.")
+    elif args.resume:
+        # resume from the newest epoch checkpoint in log_dir (failure
+        # recovery; the reference only supports manual --weights_path)
+        from glob import glob
+
+        ckpts = sorted(glob(os.path.join(log_dir, "ep*.npz")))
+        if ckpts:
+            state = restore_state(state, ckpts[-1])
+            print(f"Resumed from {ckpts[-1]}.")
+        else:
+            print("No checkpoint to resume from; starting fresh.")
 
     mesh = make_mesh(n_data=args.num_devices) if args.num_devices else make_mesh()
     config = TrainerConfig(
@@ -143,6 +154,8 @@ def build_parser():
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices on the data axis (default: all)")
     parser.add_argument("--log_dir", type=str, default=os.path.join("logs", "000"))
+    parser.add_argument("--resume", action="store_true",
+                        help="resume weights from the newest checkpoint in log_dir")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
