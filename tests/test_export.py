@@ -59,3 +59,19 @@ def test_export_parity(model_type, tmp_path):
     tfl_predict, tfl_fmt = load_inference_model(tfl_path)
     assert tfl_fmt == "TFLITE"
     np.testing.assert_allclose(tfl_predict(feats), ref_scores, rtol=1e-3, atol=1e-4)
+
+
+def test_frozen_pb_parity(tmp_path):
+    from tpu_speech_commands.export.saved_model import export_frozen_pb
+
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn_lite")
+    native, _ = load_inference_model(ckpt)
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((3, 30, 20)).astype(np.float32)
+    ref_scores = native(feats)
+
+    pb_path = str(tmp_path / "model.pb")
+    export_frozen_pb(ckpt, pb_path)
+    pb_predict, pb_fmt = load_inference_model(pb_path)
+    assert pb_fmt == "PB"
+    np.testing.assert_allclose(pb_predict(feats), ref_scores, rtol=1e-4, atol=1e-5)

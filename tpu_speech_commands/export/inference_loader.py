@@ -134,10 +134,42 @@ def load_saved_model(model_path: str):
     return predict
 
 
+def load_frozen_pb(model_path: str):
+    """Frozen GraphDef .pb (reference PB path, eval.py:40-60 equivalent;
+    input/output tensors located by shape/type rather than hardcoded
+    names)."""
+    import tensorflow as tf
+
+    graph_def = tf.compat.v1.GraphDef()
+    with open(model_path, "rb") as f:
+        graph_def.ParseFromString(f.read())
+
+    def wrapped(*inputs):
+        return tf.graph_util.import_graph_def(graph_def, name="")
+
+    placeholders = [n for n in graph_def.node if n.op == "Placeholder"]
+    outputs = [n.name for n in graph_def.node if n.name.rsplit("/", 1)[-1]
+               in ("Identity", "PartitionedCall")]
+    in_name = placeholders[0].name + ":0"
+    out_name = (outputs[-1] if outputs else graph_def.node[-1].name) + ":0"
+    fn = tf.compat.v1.wrap_function(wrapped, [])
+    concrete = fn.prune(in_name, out_name)
+    in_rank = len(concrete.inputs[0].shape)
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        outs = [np.asarray(concrete(tf.constant(row[None])))[0] for row in feats]
+        return np.stack(outs)
+
+    return predict
+
+
 def load_inference_model(model_path: str):
     """Returns (predict_fn, model_format)."""
     if model_path.endswith(".npz"):
         return load_native(model_path), "NATIVE"
+    if model_path.endswith(".pb"):
+        return load_frozen_pb(model_path), "PB"
     if model_path.endswith(".tflite"):
         return load_tflite(model_path), "TFLITE"
     if model_path.endswith((".h5", ".keras")):

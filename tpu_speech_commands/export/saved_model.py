@@ -97,6 +97,36 @@ def export_tflite(
     return output_file
 
 
+def export_frozen_pb(checkpoint_path: str, output_file: str) -> str:
+    """Native checkpoint -> frozen TF GraphDef .pb (batch 1).
+
+    Reference equivalent of keras_to_tensorflow.py:77-147
+    (convert_variables_to_constants); here derived from the jax2tf
+    SavedModel via convert_variables_to_constants_v2.
+    """
+    import tempfile
+
+    import tensorflow as tf
+    from tensorflow.python.framework.convert_to_constants import (
+        convert_variables_to_constants_v2,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        saved = export_saved_model(checkpoint_path, tmp, batch_size=1)
+        loaded = tf.saved_model.load(saved)
+        fn = loaded.signatures["serving_default"]
+        frozen = convert_variables_to_constants_v2(fn)
+        graph_def = frozen.graph.as_graph_def()
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    tf.io.write_graph(
+        graph_def,
+        os.path.dirname(os.path.abspath(output_file)),
+        os.path.basename(output_file),
+        as_text=False,
+    )
+    return output_file
+
+
 def export_onnx(checkpoint_path: str, output_file: str, opset: int = 13) -> str:
     """Native checkpoint -> .onnx via tf2onnx (gated on availability)."""
     try:
