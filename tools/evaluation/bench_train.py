@@ -23,10 +23,7 @@ def bench_model(model_type: str, batch_size: int, iters: int = 50) -> float:
 
     tx = get_optimizer("adam", 1e-3, decay_type="cosine", decay_steps=1000)
     model, state = create_train_state(model_type, 36, tx, jax.random.PRNGKey(0))
-    step = jax.jit(
-        make_train_step(model, make_loss_fn(36), state.batch_stats is not None),
-        donate_argnums=(0,),
-    )
+    step = make_train_step(model, make_loss_fn(36), state.batch_stats is not None)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -38,13 +35,23 @@ def bench_model(model_type: str, batch_size: int, iters: int = 50) -> float:
     mask = jnp.ones(batch_size, jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    for _ in range(5):
-        state, metrics = step(state, x, y, mask, key)
-    jax.block_until_ready(metrics)
+    # `iters` chained steps inside ONE jit (lax.scan): a single dispatch,
+    # state dependencies force every step to really execute; the returned
+    # final loss is fetched to host as a hard sync.
+    @jax.jit
+    def many_steps(state):
+        def body(state, _):
+            state, metrics = step(state, x, y, mask, key)
+            return state, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, None, length=iters)
+        return state, losses[-1]
+
+    state, loss = many_steps(state)  # warmup/compile
+    assert np.isfinite(float(loss))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, x, y, mask, key)
-    jax.block_until_ready(metrics)
+    state, loss = many_steps(state)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
