@@ -23,7 +23,7 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 
 
-def bench(batch_size: int = 2048, k_inner: int = 64, outer: int = 5,
+def bench(batch_size: int = 2048, k_inner: int = 16, outer: int = 5,
           model_type: str = "simple_cnn", use_pallas: bool = True) -> float:
     import jax
     import jax.numpy as jnp
