@@ -39,6 +39,18 @@ def test_fused_bark_matches_xla(audio_batch):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
 
 
+def test_fast_math_stays_close(audio_batch):
+    p = ListenerParams()
+    exact = np.asarray(Frontend(p)(jnp.asarray(audio_batch)))
+    fast = np.asarray(
+        make_fused_frontend(p, batch_tile=8, interpret=True, fast_math=True)(
+            jnp.asarray(audio_batch)
+        )
+    )
+    # bf16 DFT with f32 accumulate: ~1e-2 absolute, tiny vs feature range
+    assert np.abs(fast - exact).max() < 0.05
+
+
 def test_fused_rejects_bad_batch(audio_batch):
     fused = make_fused_frontend(ListenerParams(), batch_tile=8, interpret=True)
     with pytest.raises(AssertionError):

@@ -73,11 +73,16 @@ def make_fused_frontend(
     feature_type: str = "mfcc",
     batch_tile: int = 8,
     interpret: bool = False,
+    fast_math: bool = False,
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
     B must be a multiple of batch_tile.  Deltas (use_delta) are applied
     outside the kernel by the caller (frontend.dsp.add_deltas).
+
+    fast_math runs the DFT matmuls (the FLOPs-dominant stage) in bfloat16
+    with float32 accumulation — ~|MFCC| error grows from ~1e-4 to ~1e-2
+    (still far below feature variance); mel/DCT stay float32.
     """
     p = params or pr
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
@@ -86,14 +91,18 @@ def make_fused_frontend(
     n_frames = 1 + (n_samples - window) // hop
     n_mfcc, n_filt = p.n_mfcc, p.n_filt
     inv_fft = np.float32(1.0 / p.n_fft)
+    dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
 
     def kernel(audio_ref, cos_ref, sin_ref, filt_ref, dct_ref, out_ref):
         audio = audio_ref[:]  # (TB, S)
         frames = jnp.concatenate(
             [audio[:, t * hop : t * hop + window] for t in range(n_frames)]
         )  # (T*TB, W) — frame-major blocks, undone at the output reshape
-        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+        fr = frames.astype(dft_dtype)
+        re = jnp.dot(fr, cos_ref[:].astype(dft_dtype),
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(fr, sin_ref[:].astype(dft_dtype),
+                     preferred_element_type=jnp.float32)
         power = (re * re + im * im) * inv_fft
         mels = jnp.log(
             jnp.clip(
