@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Multi-chip throughput harness: fused frontend + model over a data-sharded
+mesh, reported as windows/sec/chip.
+
+On the single-chip axon environment this degenerates to bench.py; on a real
+slice it shards the window batch over the 'data' axis (XLA keeps the whole
+step collective-free — pure data parallel inference).  Functional behaviour
+(sharded == single-device results) is covered by
+tests/test_sharding_equality.py on the virtual CPU mesh.
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--devices", type=int, default=None,
+                        help="devices on the data axis (default: all)")
+    parser.add_argument("--batch_per_device", type=int, default=2048)
+    parser.add_argument("--k_inner", type=int, default=8)
+    parser.add_argument("--model_type", default="simple_cnn")
+    parser.add_argument("--use_pallas", action="store_true", default=True)
+    args = parser.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):  # axon plugin ignores the env var
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.models import features_to_input, init_model, score_fn
+    from tpu_speech_commands.ops import make_fused_frontend
+    from tpu_speech_commands.parallel import batch_sharding, make_mesh, replicated
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    mesh = make_mesh(n_data=args.devices) if args.devices else make_mesh()
+    n_dev = mesh.shape["data"]
+    batch = args.batch_per_device * n_dev
+
+    # Pallas kernels need per-shard batch alignment; the XLA frontend shards
+    # transparently.  Use pallas on TPU, XLA elsewhere.
+    on_tpu = jax.default_backend() == "tpu"
+    frontend = (
+        make_fused_frontend(pr, batch_tile=16) if (args.use_pallas and on_tpu)
+        else Frontend(pr)
+    )
+    model, variables = init_model(args.model_type, 5, jax.random.PRNGKey(0))
+
+    def forward(variables, audio):
+        feats = frontend(audio)
+        x = features_to_input(feats, args.model_type)
+        return score_fn(model.apply(variables, x, train=False))
+
+    def forward_many(variables, stack):
+        def body(carry, audio):
+            return carry + forward(variables, audio).sum(), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), stack)
+        return c
+
+    data = batch_sharding(mesh)
+    repl = replicated(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stack_sharding = NamedSharding(mesh, P(None, "data"))
+    fn = jax.jit(forward_many, in_shardings=(repl, stack_sharding),
+                 out_shardings=repl)
+
+    rng = np.random.default_rng(0)
+    stack = jax.device_put(
+        jnp.asarray(rng.standard_normal(
+            (args.k_inner, batch, pr.max_samples)).astype(np.float32)),
+        stack_sharding,
+    )
+    variables = jax.device_put(variables, repl)
+
+    c = fn(variables, stack)
+    assert np.isfinite(float(c))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = fn(variables, stack)
+        _ = float(c)
+        best = max(best, args.k_inner * batch / (time.perf_counter() - t0))
+    print(f"mesh data={n_dev}: {best:,.0f} windows/s total, "
+          f"{best / n_dev:,.0f} windows/s/chip")
+
+
+if __name__ == "__main__":
+    main()
