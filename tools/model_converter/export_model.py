@@ -21,7 +21,8 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="native .npz checkpoint")
     parser.add_argument("--format", type=str, required=True,
-                        choices=["saved_model", "tflite", "onnx"])
+                        choices=["saved_model", "tflite", "pb", "onnx",
+                                 "keras_h5", "native"])
     parser.add_argument("--output_path", type=str, required=True)
     parser.add_argument("--quantize", action="store_true",
                         help="TFLite post-training quantization")
@@ -29,6 +30,7 @@ def main():
     args = parser.parse_args()
 
     from tpu_speech_commands.export.saved_model import (
+        export_frozen_pb,
         export_onnx,
         export_saved_model,
         export_tflite,
@@ -42,6 +44,16 @@ def main():
         out = export_saved_model(args.checkpoint, args.output_path)
     elif args.format == "tflite":
         out = export_tflite(args.checkpoint, args.output_path, args.quantize)
+    elif args.format == "pb":
+        out = export_frozen_pb(args.checkpoint, args.output_path)
+    elif args.format == "keras_h5":
+        from tpu_speech_commands.export.keras_interop import export_keras_h5
+
+        out = export_keras_h5(args.checkpoint, args.output_path)
+    elif args.format == "native":
+        from tpu_speech_commands.export.native_format import export_native
+
+        out = export_native(args.checkpoint, args.output_path)
     else:
         out = export_onnx(args.checkpoint, args.output_path)
     print(f"Exported {args.format} to {out}")

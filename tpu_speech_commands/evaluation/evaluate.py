@@ -67,7 +67,7 @@ def evaluate_accuracy(
     for x, y, valid in batch_iterator(ds, batch_size, shuffle=False):
         xb = put(features_to_input(jnp.asarray(x), model_type))
         yb = put(jnp.asarray(y))
-        mb = put((jnp.arange(len(y)) < valid).astype(jnp.float32))
+        mb = put((np.arange(len(y)) < valid).astype(np.float32))
         correct, count, conf = step(variables, xb, yb, mb)
         total_correct += float(correct)
         total_count += float(count)

@@ -202,7 +202,8 @@ class Trainer:
     def _device_batch(self, x, y, valid):
         x = features_to_input(jnp.asarray(x), self.model_type)
         y = jnp.asarray(y)
-        mask = (jnp.arange(len(y)) < valid).astype(jnp.float32)
+        # host-side mask (one device_put instead of three tiny dispatches)
+        mask = (np.arange(len(y)) < valid).astype(np.float32)
         put = partial(jax.device_put, device=self._data_sharding)
         return put(x), put(y), put(mask)
 
