@@ -47,6 +47,7 @@ NativeModel NativeModel::load(const std::string& path) {
   // parse meta
   json::Value meta = json::parse(m.meta_json);
   m.model_type = meta.get_string("model_type", "simple_cnn");
+  m.bark = meta.get_string("feature_type", "mfcc") == "bark";
   m.num_classes = static_cast<int>(meta.get_number("num_classes", 0));
   for (const auto& c : meta.get_array("classes"))
     m.class_names.push_back(c.as_string());

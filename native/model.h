@@ -44,6 +44,7 @@ struct NativeModel {
   int buffer_samples = 15872;
   int max_samples = 16000;
   bool use_delta = false;
+  bool bark = false;  // BFCC frontend (meta feature_type == "bark")
   double threshold_mu = 6.0, threshold_std = 4.0, threshold_center = 0.2;
 
   static NativeModel load(const std::string& path);

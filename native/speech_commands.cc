@@ -79,6 +79,7 @@ int main(int argc, char** argv) {
   cfg.n_filt = model.n_filt;
   cfg.n_mfcc = model.n_mfcc;
   cfg.use_delta = model.use_delta;
+  cfg.bark = model.bark;
   tsc::Frontend frontend(cfg);
 
   auto t0 = Clock::now();
