@@ -79,6 +79,59 @@ def make_combined_kernel(batch_tile: int):
     return frontend
 
 
+def make_bf16_kernel(batch_tile: int):
+    """DFT matrices passed as true bf16 arrays; frames cast once."""
+    cos, sin, filt, dct_t = _padded_matrices(_params_key(pr), "mfcc")
+    window, hop = pr.window_samples, pr.hop_samples
+    n_frames = 1 + (pr.max_samples - window) // hop
+    n_mfcc = pr.n_mfcc
+    inv_fft = np.float32(1.0 / pr.n_fft)
+
+    def kernel(audio_ref, cos_ref, sin_ref, filt_ref, dct_ref, out_ref):
+        audio = audio_ref[:]
+        frames = jnp.concatenate(
+            [audio[:, t * hop : t * hop + window] for t in range(n_frames)]
+        ).astype(jnp.bfloat16)
+        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+        power = (re * re + im * im) * inv_fft
+        mels = jnp.log(jnp.clip(
+            jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32),
+            LOG_EPS, None))
+        coeffs = jnp.dot(mels, dct_ref[:], preferred_element_type=jnp.float32)
+        energy = jnp.log(jnp.clip(jnp.sum(power, -1, keepdims=True), LOG_EPS, None))
+        out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
+        out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
+
+    matrices = (
+        jnp.asarray(cos, jnp.bfloat16),
+        jnp.asarray(sin, jnp.bfloat16),
+        jnp.asarray(filt),
+        jnp.asarray(dct_t),
+    )
+
+    def frontend(audio):
+        batch = audio.shape[0]
+        grid = (batch // batch_tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((batch_tile, pr.max_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(cos.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(sin.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(filt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(dct_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((batch_tile, n_frames, n_mfcc),
+                                   lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
+        )(audio, *matrices)
+
+    return frontend
+
+
 def measure(name, frontend, audio):
     fn = jax.jit(lambda a: frontend(a).sum())
     c = fn(audio)
@@ -105,6 +158,8 @@ def main():
         tile16=lambda: make_fused_frontend(pr, batch_tile=16),
         tile32=lambda: make_fused_frontend(pr, batch_tile=32),
         combined16=lambda: make_combined_kernel(16),
+        bf16mat16=lambda: make_bf16_kernel(16),
+        bf16mat32=lambda: make_bf16_kernel(32),
         xla=lambda: Frontend(pr),
     )
     for name in sys.argv[1:] or variants:

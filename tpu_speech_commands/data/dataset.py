@@ -115,6 +115,39 @@ def _load_cached_class(feat_dir: str) -> np.ndarray:
     return np.stack([np.load(f) for f in files]) if files else None
 
 
+def get_audio_dataset(
+    dataset_path: str,
+    class_names: list[str],
+    val_split: float | None = None,
+    seed: int = 0,
+    params=None,
+):
+    """Load raw audio (fixed-length, left-padded) instead of features.
+
+    Feeds the on-device augmentation + fused-frontend training path
+    (data/augment.py): x is (N, max_samples) float32.  Returns Dataset or
+    (train, val) like get_dataset.
+    """
+    p = params or pr
+    samples = get_sample_list(dataset_path, class_names)
+    xs, ys = [], []
+    for idx, class_name in enumerate(class_names):
+        paths = samples[class_name]
+        if not paths:
+            continue
+        xs.append(load_audio_batch(paths, p))
+        ys.append(np.full(len(paths), idx, np.int32))
+    x = np.concatenate(xs).astype(np.float32)
+    y = np.concatenate(ys).astype(np.int32)
+    if val_split is None:
+        return Dataset(x, y)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(x))
+    n_val = int(round(len(x) * val_split))
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    return Dataset(x[train_idx], y[train_idx]), Dataset(x[val_idx], y[val_idx])
+
+
 PACKED_CACHE = "features_packed.npz"
 
 

@@ -60,11 +60,19 @@ def create_train_state(
     )
 
 
-def make_train_step(model, loss_fn: Callable, has_batch_stats: bool):
-    """Jittable (state, x, y, mask, rng) -> (state, metrics)."""
+def make_train_step(model, loss_fn: Callable, has_batch_stats: bool,
+                    device_pipeline: Callable | None = None):
+    """Jittable (state, x, y, mask, rng) -> (state, metrics).
+
+    device_pipeline (optional): (key, x, train) -> model_input, applied
+    inside the step — e.g. on-device augmentation + the fused frontend for
+    the raw-audio training path (data/augment.py)."""
 
     def train_step(state: TrainState, x, y, mask, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if device_pipeline is not None:
+            pipe_rng = jax.random.fold_in(step_rng, 1)
+            x = device_pipeline(pipe_rng, x, True)
 
         def compute_loss(params):
             variables = {"params": params}
@@ -99,10 +107,13 @@ def make_train_step(model, loss_fn: Callable, has_batch_stats: bool):
     return train_step
 
 
-def make_eval_step(model, loss_fn: Callable, has_batch_stats: bool):
+def make_eval_step(model, loss_fn: Callable, has_batch_stats: bool,
+                   device_pipeline: Callable | None = None):
     """Jittable (state, x, y, mask) -> summed metrics (host divides)."""
 
     def eval_step(state: TrainState, x, y, mask):
+        if device_pipeline is not None:
+            x = device_pipeline(None, x, False)
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -158,9 +169,11 @@ class Trainer:
         mesh=None,
         checkpoint_meta: dict | None = None,
         average_type: str | None = None,
+        device_pipeline: Callable | None = None,
     ):
         self.model = model
         self.model_type = model_type
+        self.device_pipeline = device_pipeline
         self.config = config
         self.checkpoint_meta = checkpoint_meta or {
             "model_type": model_type, "num_classes": num_classes,
@@ -184,13 +197,15 @@ class Trainer:
             self.averager = WeightAverager(average_type, self.state.params)
 
         self._train_step = jax.jit(
-            make_train_step(model, loss_fn, self.has_batch_stats),
+            make_train_step(model, loss_fn, self.has_batch_stats,
+                            device_pipeline),
             in_shardings=(st_shard, data, data, data, repl),
             out_shardings=(st_shard, repl),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_eval_step(model, loss_fn, self.has_batch_stats),
+            make_eval_step(model, loss_fn, self.has_batch_stats,
+                           device_pipeline),
             in_shardings=(st_shard, data, data, data),
             out_shardings=repl,
         )
@@ -200,7 +215,10 @@ class Trainer:
     # -- data placement ------------------------------------------------------
 
     def _device_batch(self, x, y, valid):
-        x = features_to_input(jnp.asarray(x), self.model_type)
+        if self.device_pipeline is None:
+            x = features_to_input(jnp.asarray(x), self.model_type)
+        else:  # raw-audio path: the pipeline featurises inside the step
+            x = jnp.asarray(x)
         y = jnp.asarray(y)
         # host-side mask (one device_put instead of three tiny dispatches)
         mask = (np.arange(len(y)) < valid).astype(np.float32)

@@ -39,7 +39,28 @@ def main(args):
 
     frontend = Frontend(pr, feature_type=args.feature_type)
 
-    if args.val_data_path:
+    device_pipeline = None
+    if args.augment:
+        # raw-audio path: augmentation + frontend run on device inside the
+        # train step; the background class doubles as the noise bank
+        from tpu_speech_commands.data.augment import make_audio_pipeline
+        from tpu_speech_commands.data.dataset import get_audio_dataset
+
+        if args.val_data_path:
+            train_ds = get_audio_dataset(args.train_data_path, class_names)
+            val_ds = get_audio_dataset(args.val_data_path, class_names)
+        else:
+            assert args.val_split > 0, "no val data split."
+            train_ds, val_ds = get_audio_dataset(
+                args.train_data_path, class_names, val_split=args.val_split
+            )
+        noise_bank = train_ds.x[train_ds.y == 0]
+        if len(noise_bank) == 0:
+            noise_bank = np.zeros((1, pr.max_samples), np.float32)
+        device_pipeline = make_audio_pipeline(
+            frontend, args.model_type, noise_bank
+        )
+    elif args.val_data_path:
         train_ds = get_dataset(args.train_data_path, class_names, frontend=frontend)
         val_ds = get_dataset(args.val_data_path, class_names, frontend=frontend)
     else:
@@ -105,6 +126,7 @@ def main(args):
         model, state, args.model_type, num_classes, config,
         background_bias=args.background_bias, mesh=mesh,
         checkpoint_meta=trainer_meta, average_type=args.average_type,
+        device_pipeline=device_pipeline,
     )
 
     print(
@@ -151,6 +173,9 @@ def build_parser():
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation compute dtype (params stay fp32)")
+    parser.add_argument("--augment", action="store_true",
+                        help="on-device augmentation: train on raw audio with "
+                             "random gain/shift/noise-SNR inside the step")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices on the data axis (default: all)")
     parser.add_argument("--log_dir", type=str, default=os.path.join("logs", "000"))
