@@ -132,6 +132,66 @@ def make_bf16_kernel(batch_tile: int):
     return frontend
 
 
+def make_reshape_kernel(batch_tile: int):
+    """window == 2*hop fast framing: frames = concat of adjacent hop blocks
+    (2 large copies instead of n_frames strided slices)."""
+    cos, sin, filt, dct_t = _padded_matrices(_params_key(pr), "mfcc")
+    window, hop = pr.window_samples, pr.hop_samples
+    assert window == 2 * hop
+    n_frames = 1 + (pr.max_samples - window) // hop
+    n_blocks = n_frames + 1
+    n_mfcc = pr.n_mfcc
+    inv_fft = np.float32(1.0 / pr.n_fft)
+
+    def kernel(audio_ref, cos_ref, sin_ref, filt_ref, dct_ref, out_ref):
+        audio = audio_ref[:]  # (TB, S)
+        blocks = audio[:, : n_blocks * hop].reshape(batch_tile, n_blocks, hop)
+        # frame = [block_t, block_{t+1}] -> DFT splits into two half-window
+        # matmuls (no concat: Mosaic rejects offset-mismatched concats)
+        f1 = blocks[:, :-1, :].reshape(batch_tile * n_frames, hop)
+        f2 = blocks[:, 1:, :].reshape(batch_tile * n_frames, hop)
+        re = (
+            jnp.dot(f1, cos_ref[:hop, :], preferred_element_type=jnp.float32)
+            + jnp.dot(f2, cos_ref[hop:, :], preferred_element_type=jnp.float32)
+        )
+        im = (
+            jnp.dot(f1, sin_ref[:hop, :], preferred_element_type=jnp.float32)
+            + jnp.dot(f2, sin_ref[hop:, :], preferred_element_type=jnp.float32)
+        )
+        power = (re * re + im * im) * inv_fft
+        mels = jnp.log(jnp.clip(
+            jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32),
+            LOG_EPS, None))
+        coeffs = jnp.dot(mels, dct_ref[:], preferred_element_type=jnp.float32)
+        energy = jnp.log(jnp.clip(jnp.sum(power, -1, keepdims=True), LOG_EPS, None))
+        out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
+        out_ref[:] = out.reshape(batch_tile, n_frames, n_mfcc)
+
+    matrices = (jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(filt),
+                jnp.asarray(dct_t))
+
+    def frontend(audio):
+        batch = audio.shape[0]
+        grid = (batch // batch_tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((batch_tile, pr.max_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(cos.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(sin.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(filt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(dct_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((batch_tile, n_frames, n_mfcc),
+                                   lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
+        )(audio, *matrices)
+
+    return frontend
+
+
 def measure(name, frontend, audio):
     fn = jax.jit(lambda a: frontend(a).sum())
     c = fn(audio)
@@ -160,6 +220,8 @@ def main():
         combined16=lambda: make_combined_kernel(16),
         bf16mat16=lambda: make_bf16_kernel(16),
         bf16mat32=lambda: make_bf16_kernel(32),
+        reshape16=lambda: make_reshape_kernel(16),
+        reshape32=lambda: make_reshape_kernel(32),
         xla=lambda: Frontend(pr),
     )
     for name in sys.argv[1:] or variants:
