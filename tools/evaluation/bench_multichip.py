@@ -37,7 +37,7 @@ def main():
     from tpu_speech_commands.frontend import Frontend
     from tpu_speech_commands.models import features_to_input, init_model, score_fn
     from tpu_speech_commands.ops import make_fused_frontend
-    from tpu_speech_commands.parallel import batch_sharding, make_mesh, replicated
+    from tpu_speech_commands.parallel import make_mesh, replicated
     from tpu_speech_commands.params import pr
     from tpu_speech_commands.utils.compilation_cache import (
         enable_compilation_cache,
@@ -69,7 +69,6 @@ def main():
         c, _ = jax.lax.scan(body, jnp.float32(0.0), stack)
         return c
 
-    data = batch_sharding(mesh)
     repl = replicated(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 

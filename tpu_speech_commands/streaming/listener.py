@@ -102,6 +102,10 @@ class Listener:
         uses the fused step."""
         import jax.numpy as jnp
 
+        assert self._external is not None, (
+            "update_vectors is only meaningful for external-format models; "
+            "native models run the fused chunk->scores step (process_chunk)"
+        )
         audio = buffer_to_audio(chunk) if isinstance(chunk, bytes) else chunk
         self.state, feats = self._step(self.state, jnp.asarray(audio, jnp.float32))
         return np.asarray(feats)[..., None]
