@@ -1,0 +1,108 @@
+"""Smoke tests for the evaluation/converter/misc tool CLIs (subprocesses)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+
+CLASSES = ["background", "left", "right"]
+
+
+def run_cli(rel_script, *args):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, rel_script), *args],
+        capture_output=True, text=True, check=True, env=ENV, cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """A checkpoint + wav + classes file shared across CLI tests."""
+    from tpu_speech_commands.data.synthetic import synth_command_audio
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tmp = tmp_path_factory.mktemp("cli")
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    ckpt = str(tmp / "model.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn_lite", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    wav = str(tmp / "clip.wav")
+    save_audio(wav, synth_command_audio("left", np.random.default_rng(0)))
+    classes = tmp / "classes.txt"
+    classes.write_text("\n".join(CLASSES) + "\n")
+    return {"ckpt": ckpt, "wav": wav, "classes": str(classes), "tmp": tmp}
+
+
+def test_validate_speech_commands_cli(artifacts):
+    out = run_cli(
+        "tools/evaluation/validate_speech_commands.py",
+        "--model_path", artifacts["ckpt"],
+        "--audio_path", artifacts["wav"],
+        "--classes_path", artifacts["classes"],
+        "--top_k", "2", "--loop_count", "3",
+        "--output_path", str(artifacts["tmp"] / "out"),
+    ).stdout
+    assert "Average Inference time" in out
+    assert any(c in out for c in CLASSES)
+    assert os.path.exists(artifacts["tmp"] / "out" / "clip.txt")
+
+
+def test_model_statistics_cli(artifacts):
+    out = run_cli(
+        "tools/evaluation/model_statistics.py",
+        "--model_type", "simple_gru", "--num_classes", "3",
+    ).stdout
+    assert "Total params" in out and "Total FLOPs" in out
+
+
+def test_dump_inference_model_cli(artifacts):
+    out_file = str(artifacts["tmp"] / "dumped.npz")
+    run_cli(
+        "tools/misc/dump_inference_model.py",
+        "--checkpoint", artifacts["ckpt"],
+        "--output_file", out_file,
+    )
+    from tpu_speech_commands.training.checkpoints import load_checkpoint
+
+    _, meta = load_checkpoint(out_file)
+    assert meta["model_type"] == "simple_cnn_lite"
+
+
+def test_export_model_cli_native(artifacts):
+    out_file = str(artifacts["tmp"] / "model.tscm")
+    out = run_cli(
+        "tools/model_converter/export_model.py",
+        "--checkpoint", artifacts["ckpt"],
+        "--format", "native", "--output_path", out_file,
+    ).stdout
+    assert "Exported native" in out
+    from tpu_speech_commands.export.native_format import read_native_model
+
+    tensors, meta = read_native_model(out_file)
+    assert meta["model_type"] == "simple_cnn_lite"
+    assert any(k.startswith("params/") for k in tensors)
+
+
+def test_listen_dump_model_cli(artifacts):
+    out_file = str(artifacts["tmp"] / "relisten.npz")
+    run_cli(
+        "listen.py",
+        "--model_path", artifacts["ckpt"],
+        "--classes_path", artifacts["classes"],
+        "--dump_model", "--output_model_file", out_file,
+    )
+    assert os.path.exists(out_file)

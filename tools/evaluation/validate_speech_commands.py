@@ -78,6 +78,11 @@ def validate(model_path, wav_paths, class_names, top_k=1, loop_count=1,
 
 
 def main():
+    from tpu_speech_commands.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model_path", type=str, required=True)
     parser.add_argument("--audio_path", type=str, required=True,

@@ -39,6 +39,7 @@ class _ConvBlock(nn.Module):
     inline_relu: bool = False
     pool: bool = False
     dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,7 +78,7 @@ class _ConvBlock(nn.Module):
             x = nn.relu(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.99,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             dtype=self.dtype,
             name="bn",
@@ -96,18 +97,23 @@ class SimpleCNN(nn.Module):
     dropout_rate: float = 0.5
     separable: bool = False
     dtype: Dtype = jnp.float32
+    # Keras default; lower (e.g. 0.9) converges running stats faster on
+    # short runs — eval uses running averages, so this matters for small
+    # datasets (see CLAUDE.md)
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         sep = self.separable
+        bm = self.bn_momentum
         # blocks: (features, strides, inline_relu, pool) — inline relu on
         # block 4 (both variants) and block 3 (lite variant only), matching
         # the reference activation placement.
-        x = _ConvBlock(16, 1, sep, False, True, self.dtype, name="block1")(x, train)
-        x = _ConvBlock(32, 1, sep, False, True, self.dtype, name="block2")(x, train)
-        x = _ConvBlock(64, 2, sep, sep, False, self.dtype, name="block3")(x, train)
-        x = _ConvBlock(128, 1, sep, True, True, self.dtype, name="block4")(x, train)
+        x = _ConvBlock(16, 1, sep, False, True, self.dtype, bm, name="block1")(x, train)
+        x = _ConvBlock(32, 1, sep, False, True, self.dtype, bm, name="block2")(x, train)
+        x = _ConvBlock(64, 2, sep, sep, False, self.dtype, bm, name="block3")(x, train)
+        x = _ConvBlock(128, 1, sep, True, True, self.dtype, bm, name="block4")(x, train)
         x = x.reshape((x.shape[0], -1))  # NHWC flatten, same order as Keras
         x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.feature_size, dtype=self.dtype, name="feature_dense")(x)

@@ -23,12 +23,15 @@ def is_cnn(model_type: str) -> bool:
     return model_type in CNN_MODEL_TYPES
 
 
-def get_model(model_type: str, num_classes: int, dtype=jnp.float32):
+def get_model(model_type: str, num_classes: int, dtype=jnp.float32,
+              bn_momentum: float = 0.99):
     """Build a model instance for the given type."""
     if model_type == "simple_cnn":
-        return SimpleCNN(num_classes=num_classes, dtype=dtype)
+        return SimpleCNN(num_classes=num_classes, dtype=dtype,
+                         bn_momentum=bn_momentum)
     elif model_type == "simple_cnn_lite":
-        return SimpleCNNLite(num_classes=num_classes, dtype=dtype)
+        return SimpleCNNLite(num_classes=num_classes, dtype=dtype,
+                             bn_momentum=bn_momentum)
     elif model_type == "simple_gru":
         return SimpleGRU(num_classes=num_classes, recurrent_units=48, dtype=dtype)
     elif model_type == "simple_lstm":

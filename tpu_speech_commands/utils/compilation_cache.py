@@ -13,6 +13,16 @@ import os
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    # Honor JAX_PLATFORMS here too: the axon TPU plugin ignores the env
+    # var, so CLIs invoked with JAX_PLATFORMS=cpu (tests, CPU-only boxes)
+    # must apply it via the config knob before first device use.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass  # backend already initialised; leave it be
+
     cache_dir = cache_dir or os.environ.get(
         "TSC_COMPILATION_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "tsc_jax_cache"),

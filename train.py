@@ -21,7 +21,6 @@ from tpu_speech_commands.parallel import make_mesh
 from tpu_speech_commands.training import (
     Trainer,
     TrainerConfig,
-    create_train_state,
     restore_state,
 )
 from tpu_speech_commands.utils import ensure_background_first, get_classes
@@ -86,10 +85,20 @@ def main(args):
 
     import jax.numpy as jnp
 
+    from tpu_speech_commands.models import get_model
+    from tpu_speech_commands.training.trainer import TrainState
+
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
-    model, state = create_train_state(
-        args.model_type, num_classes, tx, jax.random.PRNGKey(args.seed),
-        dtype=dtype,
+    model = get_model(args.model_type, num_classes, dtype=dtype,
+                      bn_momentum=args.bn_momentum)
+    from tpu_speech_commands.models import input_shape
+
+    dummy = jnp.zeros((2,) + input_shape(args.model_type), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(args.seed)}, dummy,
+                           train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
     )
     if args.weights_path:
         state = restore_state(state, args.weights_path)
@@ -176,6 +185,10 @@ def build_parser():
     parser.add_argument("--augment", action="store_true",
                         help="on-device augmentation: train on raw audio with "
                              "random gain/shift/noise-SNR inside the step")
+    parser.add_argument("--bn_momentum", type=float, default=0.99,
+                        help="BatchNorm running-stats momentum (Keras default "
+                             "0.99; lower converges eval stats faster on "
+                             "short runs)")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices on the data axis (default: all)")
     parser.add_argument("--log_dir", type=str, default=os.path.join("logs", "000"))
