@@ -41,12 +41,16 @@ inline WavData read_wav(const std::string& path) {
     f.read(reinterpret_cast<char*>(&size), 4);
     if (!f) break;
     if (std::memcmp(id, "fmt ", 4) == 0) {
-      std::vector<char> fmt(size);
-      f.read(fmt.data(), size);
+      std::vector<char> fmt(size + (size & 1));
+      f.read(fmt.data(), size + (size & 1));
       audio_format = *reinterpret_cast<uint16_t*>(&fmt[0]);
       wav.num_channels = *reinterpret_cast<uint16_t*>(&fmt[2]);
       wav.sample_rate = *reinterpret_cast<uint32_t*>(&fmt[4]);
       wav.bits_per_sample = *reinterpret_cast<uint16_t*>(&fmt[14]);
+      // WAVE_FORMAT_EXTENSIBLE: real format is the first 2 bytes of the
+      // SubFormat GUID at offset 24
+      if (audio_format == 0xFFFE && size >= 26)
+        audio_format = *reinterpret_cast<uint16_t*>(&fmt[24]);
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       if (!have_fmt) throw std::runtime_error("wav data before fmt chunk");

@@ -1,0 +1,80 @@
+"""Robustness: extensible-format wavs and corrupt native model files."""
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_extensible_wav(path, samples, rate=16000):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) PCM wav — stdlib `wave` rejects it."""
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    # 40-byte extensible fmt chunk: base 16 bytes + cbSize(22) +
+    # validbits + channel mask + PCM SubFormat GUID
+    guid = (b"\x01\x00\x00\x00\x00\x00\x10\x00"
+            b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, rate, rate * 2, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 0) + guid
+    data_size = len(pcm)
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", data_size) + pcm)
+
+
+def test_load_extensible_wav(tmp_path, rng):
+    from tpu_speech_commands.data.wav import load_wav
+
+    samples = 0.3 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+    path = str(tmp_path / "ext.wav")
+    write_extensible_wav(path, samples)
+    audio = load_wav(path, 16000)
+    assert len(audio) == 16000
+    np.testing.assert_allclose(audio, samples, atol=2e-4)
+
+
+def test_native_wav_reader_extensible(tmp_path, rng):
+    """The C++ reader handles extensible wavs too (via speech_commands app)."""
+    lib = os.path.join(REPO, "native", "build", "speech_commands")
+    if not os.path.exists(lib):
+        pytest.skip("native apps not built")
+    import jax
+
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
+                                  "classes": ["background", "a", "b"],
+                                  "params": pr.to_dict()})
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    wav = str(tmp_path / "ext.wav")
+    write_extensible_wav(wav, 0.2 * rng.standard_normal(16000))
+    out = subprocess.run([lib, "--model", blob, "--wav", wav],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "model invoke time" in out.stdout
+
+
+def test_native_model_loader_rejects_corrupt(tmp_path):
+    from tpu_speech_commands.native_binding import NativeModel
+
+    bad = tmp_path / "bad.tscm"
+    bad.write_bytes(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(RuntimeError):
+        NativeModel(str(bad))
+
+    truncated = tmp_path / "trunc.tscm"
+    truncated.write_bytes(b"TSCM" + struct.pack("<II", 1, 1 << 30))
+    with pytest.raises(RuntimeError):
+        NativeModel(str(truncated))

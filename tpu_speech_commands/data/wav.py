@@ -48,11 +48,16 @@ def load_wav(path: str, sample_rate: int | None = None, mono: bool = True) -> np
     Supports 8/16/32-bit integer PCM.
     """
     target_rate = sample_rate or pr.sample_rate
-    with wave.open(path, "rb") as wf:
-        n_channels = wf.getnchannels()
-        sampwidth = wf.getsampwidth()
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(path, "rb") as wf:
+            n_channels = wf.getnchannels()
+            sampwidth = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        # stdlib wave rejects WAVE_FORMAT_EXTENSIBLE (0xFFFE) and some
+        # nonstandard chunk layouts; fall back to a manual RIFF parse
+        n_channels, sampwidth, rate, raw = _parse_riff(path)
 
     if sampwidth == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / INT16_SCALE
@@ -76,6 +81,40 @@ def load_wav(path: str, sample_rate: int | None = None, mono: bool = True) -> np
             np.float32
         )
     return data
+
+
+def _parse_riff(path: str):
+    """Minimal RIFF/WAVE parser for PCM files the stdlib rejects
+    (WAVE_FORMAT_EXTENSIBLE etc.).  Returns (channels, sampwidth, rate, raw)."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = None
+        data = None
+        while True:
+            chunk = f.read(8)
+            if len(chunk) < 8:
+                break
+            cid, size = chunk[:4], struct.unpack("<I", chunk[4:])[0]
+            payload = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                data = payload
+                if fmt is not None:
+                    break
+    if fmt is None or data is None:
+        raise ValueError(f"missing fmt/data chunk: {path}")
+    audio_format, channels, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # extensible: real fmt in GUID
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
+    if audio_format != 1:
+        raise ValueError(f"only PCM wav supported (format {audio_format}): {path}")
+    return channels, bits // 8, rate, data
 
 
 def wav_duration_samples(path: str) -> tuple[int, int]:
