@@ -66,6 +66,12 @@ inline WavData read_wav(const std::string& path) {
           wav.samples[i] = static_cast<float>(v) / 32768.0f;
         } else if (wav.bits_per_sample == 8) {
           wav.samples[i] = (static_cast<uint8_t>(raw[i]) - 128) / 128.0f;
+        } else if (wav.bits_per_sample == 24) {
+          int32_t v = static_cast<uint8_t>(raw[i * 3]) |
+                      (static_cast<uint8_t>(raw[i * 3 + 1]) << 8) |
+                      (static_cast<uint8_t>(raw[i * 3 + 2]) << 16);
+          if (v >= (1 << 23)) v -= (1 << 24);
+          wav.samples[i] = static_cast<float>(v) / 8388608.0f;
         } else if (wav.bits_per_sample == 32) {
           int32_t v;
           std::memcpy(&v, &raw[i * 4], 4);

@@ -66,6 +66,32 @@ def test_native_wav_reader_extensible(tmp_path, rng):
     assert "model invoke time" in out.stdout
 
 
+def write_24bit_wav(path, samples, rate=16000):
+    vals = (np.clip(samples, -1, 1) * 8388607).astype(np.int32)
+    b = np.zeros((len(vals), 3), np.uint8)
+    u = vals.astype(np.uint32) & 0xFFFFFF
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    pcm = b.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 3, 3, 24)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(pcm))
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def test_load_24bit_wav(tmp_path):
+    from tpu_speech_commands.data.wav import load_wav
+
+    samples = 0.5 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)
+    path = str(tmp_path / "w24.wav")
+    write_24bit_wav(path, samples)
+    audio = load_wav(path, 16000)
+    np.testing.assert_allclose(audio, samples, atol=1e-3)
+
+
 def test_native_model_loader_rejects_corrupt(tmp_path):
     from tpu_speech_commands.native_binding import NativeModel
 

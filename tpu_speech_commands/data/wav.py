@@ -63,6 +63,15 @@ def load_wav(path: str, sample_rate: int | None = None, mono: bool = True) -> np
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / INT16_SCALE
     elif sampwidth == 1:  # 8-bit wav is unsigned
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 3:  # 24-bit: widen to int32 with sign extension
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        as32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        as32 = np.where(as32 >= 1 << 23, as32 - (1 << 24), as32)
+        data = as32.astype(np.float32) / float(1 << 23)
     elif sampwidth == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(2 ** 31)
     else:
