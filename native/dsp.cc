@@ -73,11 +73,31 @@ void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
 
 double power_spectrum(const float* frame, int frame_len, int n_fft,
                       std::vector<double>& powers) {
-  std::vector<double> re(n_fft, 0.0), im(n_fft, 0.0);
-  const int used = std::min(frame_len, n_fft);
-  for (int i = 0; i < used; ++i) re[i] = frame[i];
-  fft_radix2(re, im);
   const int bins = n_fft / 2 + 1;
+  const int used = std::min(frame_len, n_fft);
+  std::vector<double> re, im;
+  if ((n_fft & (n_fft - 1)) == 0) {
+    re.assign(n_fft, 0.0);
+    im.assign(n_fft, 0.0);
+    for (int i = 0; i < used; ++i) re[i] = frame[i];
+    fft_radix2(re, im);
+  } else {
+    // n_fft is not a power of two (fft_radix2 would silently corrupt);
+    // fall back to a direct real DFT of the needed bins, matching the
+    // Python frontend's any-size np.fft.rfft.
+    re.assign(bins, 0.0);
+    im.assign(bins, 0.0);
+    for (int k = 0; k < bins; ++k) {
+      const double w = -2.0 * M_PI * k / n_fft;
+      double ar = 0.0, ai = 0.0;
+      for (int i = 0; i < used; ++i) {
+        ar += frame[i] * std::cos(w * i);
+        ai += frame[i] * std::sin(w * i);
+      }
+      re[k] = ar;
+      im[k] = ai;
+    }
+  }
   powers.resize(bins);
   double total = 0.0;
   for (int i = 0; i < bins; ++i) {

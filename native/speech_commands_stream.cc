@@ -71,6 +71,26 @@ int main(int argc, char** argv) {
     return 1;
   }
 
+  // Mirror the Python streamer's bounds (streaming/feature_stream.py):
+  // an oversized chunk would make (buffer_samples - chunk_size) negative
+  // (size_t wrap -> OOB memmove) or roll more feature rows than exist.
+  if (chunk_size < 1 ||
+      model.window_samples + chunk_size - 1 > model.buffer_samples) {
+    std::fprintf(stderr,
+                 "--chunk_size %d out of range: need 1 <= chunk_size <= "
+                 "buffer_samples - window_samples + 1 = %d\n",
+                 chunk_size,
+                 model.buffer_samples - model.window_samples + 1);
+    return 2;
+  }
+  if (1 + (chunk_size - 1) / model.hop_samples > model.n_features) {
+    std::fprintf(stderr,
+                 "--chunk_size %d produces more than n_features=%d new "
+                 "frames per chunk; lower chunk_size\n",
+                 chunk_size, model.n_features);
+    return 2;
+  }
+
   tsc::FrontendConfig cfg;
   cfg.sample_rate = model.sample_rate;
   cfg.window_samples = model.window_samples;

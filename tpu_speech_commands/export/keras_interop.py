@@ -56,8 +56,11 @@ def _indexed(weights: dict[str, np.ndarray], base: str) -> list[str]:
 
 
 def _layer_tensor(weights, layer, suffix):
+    # Exact final-segment match: suffix "kernel" must not also match
+    # "recurrent_kernel"/"depthwise_kernel" (h5 keys end in "...:0").
     for key, arr in weights.items():
-        if f"{layer}/" in key and key.endswith(suffix):
+        last = key.split("/")[-1].split(":")[0]
+        if f"{layer}/" in key and last == suffix:
             return arr
     raise KeyError(f"{layer}/{suffix} not found in H5 weights")
 

@@ -70,7 +70,13 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
     assert max_new <= p.n_features, (
         "chunk_size too large for incremental update; lower chunk_size"
     )
-    assert chunk_size <= buf_len, "chunk_size exceeds audio buffer"
+    # start0 = buf_len - fill must stay >= 0 for dynamic_slice correctness:
+    # fill peaks at window - 1 + chunk_size right before extraction, beyond
+    # which dynamic_slice would clamp and silently emit corrupted frames.
+    assert window + chunk_size - 1 <= buf_len, (
+        "chunk_size too large for the audio buffer: need "
+        "window_samples + chunk_size - 1 <= buffer_samples"
+    )
 
     def update(state, chunk):
         """state/chunk may carry identical leading stream axes; `fill` is a
