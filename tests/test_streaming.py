@@ -66,6 +66,21 @@ def test_decoder_array():
     np.testing.assert_allclose(out, [dec.decode(v) for v in arr])
 
 
+def test_decoder_array_bit_exact_vs_scalar():
+    """Vectorised decode must match the scalar path exactly, including the
+    0/1 pass-through, out-of-(0,1) asigmoid fallback, zero-std mixtures,
+    and preserve input shape."""
+    rng = np.random.default_rng(7)
+    edge = np.array([0.0, 1.0, 1e-12, 1 - 1e-12, -0.5, 1.5])
+    for cfg, center in [(((6, 4),), 0.2), (((6, 4), (2, 1)), 0.5), (((3, 0),), 0.2)]:
+        dec = ThresholdDecoder(cfg, center)
+        raw = np.concatenate([edge, rng.uniform(0, 1, 2000)])
+        expect = np.array([dec.decode(float(v)) for v in raw])
+        np.testing.assert_array_equal(dec.decode_array(raw), expect)
+        shaped = raw[:2000].reshape(40, 50)
+        assert dec.decode_array(shaped).shape == (40, 50)
+
+
 def test_decoder_zero_range():
     dec = ThresholdDecoder(((5, 0),), center=0.5)
     assert dec.out_range == 0
@@ -161,6 +176,53 @@ def test_multi_stream_batched_update_matches_per_stream():
             np.testing.assert_allclose(
                 np.asarray(bfeats)[s], np.asarray(sfeats), rtol=1e-5, atol=1e-5
             )
+
+
+def test_multi_stream_staggered_starts_match_per_stream():
+    """Streams joining at different times (per-stream fill counters): a
+    slot reset mid-run via reset_streams must behave exactly like a fresh
+    single stream from its own t=0."""
+    from tpu_speech_commands.streaming.feature_stream import reset_streams
+
+    p = ListenerParams()
+    fe = Frontend(p)
+    update = jax.jit(make_stream_update(fe, 1024))
+    rng = np.random.default_rng(11)
+    audios = [rng.standard_normal(8192).astype(np.float32) for _ in range(3)]
+    joins = [0, 2, 5]  # chunk index at which each stream starts
+
+    batched = init_stream_state(p, n_streams=3)
+    assert batched["fill"].shape == (3,)
+    singles = [init_stream_state(p) for _ in range(3)]
+    sfeats = [None] * 3
+
+    for c in range(8):
+        # a joining stream resets its slot (as a serving frontend would)
+        joining = np.array([c == j for j in joins])
+        if joining.any():
+            batched = reset_streams(batched, jnp.asarray(joining))
+        chunk_batch = np.zeros((3, 1024), np.float32)
+        for s in range(3):
+            if c >= joins[s]:
+                local = c - joins[s]
+                chunk_batch[s] = audios[s][local * 1024 : (local + 1) * 1024]
+        batched, bfeats = update(batched, jnp.asarray(chunk_batch))
+        for s in range(3):
+            if c >= joins[s]:
+                local = c - joins[s]
+                singles[s], sfeats[s] = update(
+                    singles[s],
+                    jnp.asarray(audios[s][local * 1024 : (local + 1) * 1024]),
+                )
+                np.testing.assert_allclose(
+                    np.asarray(bfeats)[s], np.asarray(sfeats[s]),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"stream {s} chunk {c}",
+                )
+    # fills diverge across streams when hop does not divide the chunk evenly;
+    # at chunk 1024 / hop 512 they happen to align — just check shape+validity
+    assert batched["fill"].shape == (3,)
+    assert bool(jnp.all(batched["fill"] >= 0))
 
 
 def test_stream_audio_ring_matches_reference():

@@ -48,15 +48,30 @@ def safe_log(x):
 # ---------------------------------------------------------------------------
 
 def chop_array(arr, window_size, hop_size):
-    """chop_array([1,2,3], 2, 1) -> [[1,2], [2,3]] — keeps only full windows."""
-    return [arr[i - window_size : i] for i in range(window_size, len(arr) + 1, hop_size)]
+    """Full rectangular windows of `arr` at stride `hop_size`.
+
+    chop_array([1,2,3], 2, 1) -> [[1,2], [2,3]]; a trailing partial window
+    is discarded (sonopy framing semantics, reference bark_feature.py:80-82).
+    Returns a list of views so callers can np.array() or iterate.
+    """
+    arr = np.asarray(arr)
+    n_frames = max(0, 1 + (len(arr) - window_size) // hop_size) if len(arr) >= window_size else 0
+    return [arr[t * hop_size : t * hop_size + window_size] for t in range(n_frames)]
 
 
-def power_spec(audio: np.ndarray, window_stride=(160, 80), fft_size=512):
-    """Rectangular-window framing -> rfft -> (re^2+im^2)/fft_size."""
-    frames = chop_array(audio, *window_stride) or np.empty((0, window_stride[0]))
-    fft = np.fft.rfft(frames, n=fft_size)
-    return (fft.real ** 2 + fft.imag ** 2) / fft_size
+def power_spec(audio: np.ndarray, window_stride, fft_size):
+    """Power spectrum of rectangular-window frames.
+
+    Frames `audio` with chop_array, zero-pads each frame to `fft_size`,
+    and returns |rfft|^2 / fft_size — the reference normalises by the FFT
+    length rather than the window length (bark_feature.py:85-89).
+    """
+    window_size, hop_size = window_stride
+    frames = chop_array(audio, window_size, hop_size)
+    if not frames:
+        return np.empty((0, fft_size // 2 + 1))
+    spectrum = np.fft.rfft(np.stack(frames), n=fft_size)
+    return (np.abs(spectrum) ** 2) / fft_size
 
 
 # ---------------------------------------------------------------------------

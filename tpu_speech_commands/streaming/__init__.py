@@ -4,6 +4,7 @@ from .feature_stream import (
     StreamConfig,
     init_stream_state,
     make_stream_update,
+    reset_streams,
 )
 from .listener import Listener, default_config
 from .trigger import TriggerDetector
@@ -17,4 +18,5 @@ __all__ = [
     "StreamConfig",
     "init_stream_state",
     "make_stream_update",
+    "reset_streams",
 ]

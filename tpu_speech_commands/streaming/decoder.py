@@ -73,13 +73,30 @@ class ThresholdDecoder:
         return self.sigmoid(self.min_out + self.out_range * ratio)
 
     def decode_array(self, raw: np.ndarray) -> np.ndarray:
-        """Vectorised decode for batched post-processing."""
+        """Vectorised decode for batched post-processing.
+
+        Identical numerics to decode(): logit, CDF table lookup with
+        round-to-nearest index, piecewise rescale around center; exact 0/1
+        pass through and out-of-(0,1) values take the asigmoid(-10) branch.
+        """
         raw = np.asarray(raw, dtype=np.float64)
-        out = np.empty_like(raw)
-        flat_in, flat_out = raw.ravel(), out.ravel()
-        for i, v in enumerate(flat_in):
-            flat_out[i] = self.decode(float(v))
-        return out
+        if self.out_range == 0:
+            cp = (raw > self.min_out).astype(np.float64)
+        else:
+            interior = (raw > 0.0) & (raw < 1.0)
+            logit = np.where(
+                interior, -np.log(1.0 / np.where(interior, raw, 0.5) - 1.0), -10.0
+            )
+            ratio = np.clip((logit - self.min_out) / self.out_range, 0.0, 1.0)
+            idx = (ratio * (len(self.cd) - 1) + 0.5).astype(np.int64)
+            cp = self.cd[idx]
+        out = np.where(
+            cp < self.center,
+            0.5 * cp / self.center,
+            0.5 + 0.5 * (cp - self.center) / (1.0 - self.center),
+        )
+        exact = (raw == 0.0) | (raw == 1.0)
+        return np.where(exact, raw, out)
 
     def _calc_pd(self, mu_stds, resolution: int):
         points = np.linspace(

@@ -6,9 +6,12 @@ chunk -> features -> logits step compiles into ONE device program:
 
 reference state (ragged)            ->  fixed-shape state here
   audio_buffer (buffer_samples,)        audio   (buffer_samples,) f32
-  window_audio (variable length)        fill    () int32  — pending-sample
+  window_audio (variable length)        fill    int32 — pending-sample
                                         count; the pending samples ARE the
-                                        tail of `audio`, so no second buffer
+                                        tail of `audio`, so no second buffer.
+                                        Scalar for a single stream; carries
+                                        the stream axis in batched serving so
+                                        streams join/leave independently
   mfccs (n_features, n_mfcc)            feats   (n_features, n_mfcc) f32
 
 Per chunk (chunk_size static): append chunk to the ring, grow `fill`; if
@@ -49,14 +52,29 @@ class StreamConfig:
 def init_stream_state(params: ListenerParams | None = None,
                       n_streams: int | None = None):
     """Zeroed streaming state (audio ring, pending count, feature buffer) —
-    mirrors listen.py:90-92.  With n_streams, state carries a leading
-    stream axis (all streams share one chunk cadence, hence one `fill`)."""
+    mirrors listen.py:90-92.  With n_streams, every field (including the
+    pending-sample counter `fill`) carries a leading stream axis, so
+    streams may join, leave, or reset at different times."""
     p = params or pr
     lead = () if n_streams is None else (n_streams,)
     return {
         "audio": jnp.zeros(lead + (p.buffer_samples,), jnp.float32),
-        "fill": jnp.asarray(0, jnp.int32),
+        "fill": jnp.zeros(lead, jnp.int32),
         "feats": jnp.zeros(lead + (p.n_features, p.n_mfcc), jnp.float32),
+    }
+
+
+def reset_streams(state, mask):
+    """Zero the state of streams where `mask` is True (shape (n_streams,)).
+
+    Jit-compatible: use when a serving slot is vacated or re-assigned so a
+    new caller never sees the previous stream's audio. Returns a new state.
+    """
+    mask = jnp.asarray(mask, bool)
+    return {
+        "audio": jnp.where(mask[:, None], 0.0, state["audio"]),
+        "fill": jnp.where(mask, 0, state["fill"]),
+        "feats": jnp.where(mask[:, None, None], 0.0, state["feats"]),
     }
 
 
@@ -79,8 +97,9 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
     )
 
     def update(state, chunk):
-        """state/chunk may carry identical leading stream axes; `fill` is a
-        shared scalar (all streams advance on the same chunk cadence)."""
+        """state/chunk may carry identical leading stream axes.  `fill` is
+        either a shared scalar (lock-step streams) or carries the stream
+        axis itself (independent join/leave/reset cadence per stream)."""
         audio = jnp.concatenate(
             [state["audio"][..., chunk_size:], chunk], axis=-1
         )
@@ -91,21 +110,38 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
         # window_audio == the trailing `fill` samples of the stream; frame j
         # covers window_audio[j*hop : j*hop+window]
         start0 = buf_len - fill
-        frames = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(audio, start0 + j * hop, window,
-                                             axis=-1)
-                for j in range(max_new)
-            ],
-            axis=-2,
-        )  # (..., max_new, window)
+        if fill.ndim == 0:
+            frames = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(audio, start0 + j * hop,
+                                                 window, axis=-1)
+                    for j in range(max_new)
+                ],
+                axis=-2,
+            )  # (..., max_new, window)
+        else:
+            # per-stream starts: one gather instead of max_new dynamic
+            # slices. Rows j >= n_new[s] read clipped/garbage positions and
+            # are discarded by the per-stream roll below; rows j < n_new[s]
+            # are provably in bounds (fill >= window + (n_new-1)*hop).
+            offs = (
+                start0[..., None, None]
+                + (jnp.arange(max_new) * hop)[:, None]
+                + jnp.arange(window)[None, :]
+            )  # (..., max_new, window)
+            offs = jnp.clip(offs, 0, buf_len - 1)
+            frames = jnp.take_along_axis(audio[..., None, :], offs, axis=-1)
         new_feats = frontend.features_from_frames(frames)  # (..., max_new, F)
 
         # roll the feature buffer left by n_new and append the n_new valid rows
         stacked = jnp.concatenate([state["feats"], new_feats], axis=-2)
-        feats = jax.lax.dynamic_slice_in_dim(
-            stacked, n_new, p.n_features, axis=-2
-        )
+        if fill.ndim == 0:
+            feats = jax.lax.dynamic_slice_in_dim(
+                stacked, n_new, p.n_features, axis=-2
+            )
+        else:
+            rows = n_new[..., None, None] + jnp.arange(p.n_features)[:, None]
+            feats = jnp.take_along_axis(stacked, rows, axis=-2)
         fill = fill - n_new * hop
         new_state = {"audio": audio, "fill": fill, "feats": feats}
         out = feats
