@@ -5,15 +5,18 @@ Measures the fused Pallas-MFCC frontend + simple_cnn forward on
 device-resident 1-second audio windows — the TPU counterpart of the
 reference's single-stream C++ path (feature 3.051 ms + invoke 2.216 ms =>
 ~190 windows/sec/core, /root/reference/inference/README.md:170-171; see
-BASELINE.md).
+BASELINE.md; the MNN path is ~265 w/s).
 
-Methodology: `k_inner` scan iterations run inside ONE jitted `lax.scan`
-whose carry accumulates a checksum over every score — a single device
-dispatch per measurement, immune to async-dispatch/DCE artifacts.  Each
-iteration dynamically indexes one of `n_stack` device-resident sub-batches
-(wraparound reuse keeps HBM bounded), so the ~32 ms tunnel round-trip is
-amortised over k_inner*B windows and the figure approaches true device
-throughput.
+Methodology: `k_inner` iterations run inside ONE jitted `lax.scan` whose
+carry accumulates a checksum over every score — a single device dispatch
+per measurement, immune to async-dispatch/DCE artifacts, with the ~32 ms
+tunnel round-trip amortised over k_inner*B windows.  Each iteration feeds
+the frontend kernel an iteration-dependent scalar gain (an SMEM operand),
+which (a) keeps the body non-loop-invariant so XLA cannot hoist the work
+out of the scan, and (b) unlike the previous sub-batch dynamic-index
+scheme, adds no per-iteration HBM copy of the batch (measured: indexing a
+(n_stack, B, S) pool capped effective input bandwidth at ~160 GB/s; the
+scalar-gain form reads the same fixed batch at ~315 GB/s).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -26,8 +29,8 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 
 
-def bench(batch_size: int = 2048, k_inner: int = 128, n_stack: int = 8,
-          outer: int = 5, model_type: str = "simple_cnn",
+def bench(batch_size: int = 4096, k_inner: int = 128,
+          outer: int = 8, model_type: str = "simple_cnn",
           use_pallas: bool = True) -> float:
     import jax
     import jax.numpy as jnp
@@ -44,23 +47,23 @@ def bench(batch_size: int = 2048, k_inner: int = 128, n_stack: int = 8,
 
         frontend = make_fused_frontend(pr, batch_tile=16)
     else:
-        frontend = Frontend(pr)
+        fe = Frontend(pr)
+        frontend = lambda audio, gain: fe(audio * gain)  # noqa: E731
     model, variables = init_model(model_type, 5, jax.random.PRNGKey(0),
                                   batch_size=2)
 
-    def forward(variables, audio):
-        feats = frontend(audio)
+    def forward(variables, audio, gain):
+        feats = frontend(audio, gain)
         x = features_to_input(feats, model_type)
         return score_fn(model.apply(variables, x, train=False))
 
     @jax.jit
-    def forward_many(variables, audio_stack):
-        # k_inner iterations over an (n_stack, B, S) pool -> scalar checksum
+    def forward_many(variables, audio):
+        # k_inner iterations over the same device-resident batch; the
+        # per-iteration gain keeps every iteration live (no hoisting)
         def body(carry, i):
-            audio = jax.lax.dynamic_index_in_dim(
-                audio_stack, i % n_stack, axis=0, keepdims=False
-            )
-            scores = forward(variables, audio)
+            gain = 1.0 + 1e-9 * i.astype(jnp.float32)
+            scores = forward(variables, audio, gain)
             return carry + scores.sum(), None
 
         checksum, _ = jax.lax.scan(
@@ -69,22 +72,20 @@ def bench(batch_size: int = 2048, k_inner: int = 128, n_stack: int = 8,
         return checksum
 
     rng = np.random.default_rng(0)
-    audio_stack = jax.device_put(
+    audio = jax.device_put(
         jnp.asarray(
-            rng.standard_normal((n_stack, batch_size, pr.max_samples)).astype(
-                np.float32
-            )
+            rng.standard_normal((batch_size, pr.max_samples)).astype(np.float32)
         )
     )
     variables = jax.device_put(variables)
 
-    checksum = forward_many(variables, audio_stack)  # warmup/compile
+    checksum = forward_many(variables, audio)  # warmup/compile
     assert np.isfinite(float(checksum))
 
     best = 0.0
     for _ in range(outer):
         t0 = time.perf_counter()
-        checksum = forward_many(variables, audio_stack)
+        checksum = forward_many(variables, audio)
         _ = float(checksum)  # hard device->host sync on real data
         dt = time.perf_counter() - t0
         best = max(best, k_inner * batch_size / dt)
@@ -104,7 +105,8 @@ def main():
         json.dumps(
             {
                 "metric": "feature+inference windows/sec/chip "
-                          "(simple_cnn, fused Pallas MFCC, scan-checksum)",
+                          "(simple_cnn, fused Pallas CT-DFT MFCC, "
+                          "scan-checksum)",
                 "value": round(best, 1),
                 "unit": "windows/s",
                 "vs_baseline": round(best / BASELINE_WINDOWS_PER_SEC, 2),

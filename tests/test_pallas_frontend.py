@@ -55,3 +55,73 @@ def test_fused_rejects_bad_batch(audio_batch):
     fused = make_fused_frontend(ListenerParams(), batch_tile=8, interpret=True)
     with pytest.raises(AssertionError):
         fused(jnp.asarray(audio_batch[:5]))
+
+
+# -- Cooley-Tukey GEMM-DFT path ----------------------------------------------
+
+def test_ct_matches_dense(audio_batch):
+    p = ListenerParams()
+    dense = make_fused_frontend(p, batch_tile=4, interpret=True,
+                                dft_mode="dense")
+    ct = make_fused_frontend(p, batch_tile=4, interpret=True, dft_mode="ct")
+    a = jnp.asarray(audio_batch)
+    np.testing.assert_allclose(
+        np.asarray(ct(a)), np.asarray(dense(a)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ct_bark_matches_dense(audio_batch):
+    p = ListenerParams()
+    dense = make_fused_frontend(p, feature_type="bark", batch_tile=8,
+                                interpret=True, dft_mode="dense")
+    ct = make_fused_frontend(p, feature_type="bark", batch_tile=8,
+                             interpret=True, dft_mode="ct")
+    a = jnp.asarray(audio_batch)
+    np.testing.assert_allclose(
+        np.asarray(ct(a)), np.asarray(dense(a)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_auto_selects_ct_when_eligible():
+    from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
+
+    assert _ct_eligible(ListenerParams())  # default: window == n_fft == 1024
+    # a window shorter than n_fft needs the zero-padding tail -> dense
+    assert not _ct_eligible(ListenerParams(window_t=0.05))
+    with pytest.raises(ValueError):
+        make_fused_frontend(ListenerParams(window_t=0.05), dft_mode="ct")
+    # 'auto' silently falls back to dense and still runs
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((4, 16000)).astype(np.float32))
+    fe = make_fused_frontend(ListenerParams(window_t=0.05), batch_tile=4,
+                             interpret=True, dft_mode="auto")
+    assert np.isfinite(np.asarray(fe(a))).all()
+
+
+def test_dft8_butterfly_matches_fft():
+    from tpu_speech_commands.ops.pallas_frontend import _dft8_real
+
+    rng = np.random.default_rng(4)
+    x = [rng.standard_normal(17) for _ in range(8)]
+    t_re, t_im = _dft8_real(x, np.float64)
+    X = np.fft.fft(np.stack(x), axis=0)
+    for s in range(5):
+        np.testing.assert_allclose(t_re[s], X[s].real, atol=1e-12)
+    for s in (1, 2, 3):
+        np.testing.assert_allclose(t_im[s], X[s].imag, atol=1e-12)
+    np.testing.assert_allclose(X[0].imag, 0.0, atol=1e-12)
+    np.testing.assert_allclose(X[4].imag, 0.0, atol=1e-12)
+
+
+def test_gain_scales_audio(audio_batch):
+    """frontend(audio, gain) == frontend(audio * gain) for both DFT modes."""
+    p = ListenerParams()
+    a = jnp.asarray(audio_batch)
+    for mode in ("dense", "ct"):
+        fe = make_fused_frontend(p, batch_tile=4, interpret=True,
+                                 dft_mode=mode)
+        np.testing.assert_allclose(
+            np.asarray(fe(a, 0.5)),
+            np.asarray(fe(a * 0.5)),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -68,12 +68,134 @@ def _params_key(p: ListenerParams):
     )
 
 
+LANES = 128
+
+
+def _ct_eligible(p: ListenerParams) -> bool:
+    """The Cooley-Tukey GEMM-DFT needs n_fft = n2*128 (n2 >= 2) and a
+    window that fills the transform exactly (no zero-padding tail)."""
+    return (
+        p.n_fft % LANES == 0
+        and p.n_fft // LANES >= 2
+        and p.window_samples == p.n_fft
+    )
+
+
+@functools.lru_cache()
+def _ct_matrices(params_key, feature_type: str):
+    """Constants for the two-stage Cooley-Tukey GEMM DFT (docs/DESIGN.md §2).
+
+    Decimation n = 128*a + b (a < n2 = n_fft/128, b < 128) — a free
+    lane-aligned split, no transpose anywhere:
+
+        T[s, b]      = sum_a frame[128a+b] * W_n2^{s a}      (VPU stage)
+        X[n2*j + s]  = sum_b T[s, b] * W_nfft^{(n2 j + s) b} (MXU stage)
+
+    Returns:
+      ct_cos/ct_sin — (n2, n2) stage-1 coefficient tables (host constants,
+        baked into the kernel as scalars; zeros/±1 folded away)
+      E — (n2, 2, 128, 128) stage-2 real/imag matrices, pre-scaled by
+        1/sqrt(n_fft) so |X|^2 lands already power-normalised
+      filt_e — (n_fft, pad(n_filt+1)) permuted filterbank: row
+        kp = 128*s + j holds filter weights for physical bin k = n2*j + s;
+        mirror bins (k > n_fft/2) stay zero, and column n_filt is the
+        valid-bin indicator so total energy rides the same matmul
+      dct_t — (n_filt, n_filt) transposed DCT-II
+    """
+    p = ListenerParams(*params_key)
+    n_fft, n_filt = p.n_fft, p.n_filt
+    n2 = n_fft // LANES
+    n_bins = n_fft // 2 + 1
+
+    ang1 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    ct_cos = np.cos(ang1)
+    ct_sin = -np.sin(ang1)
+
+    scale = np.float64(1.0 / np.sqrt(n_fft))
+    b_idx = np.arange(LANES, dtype=np.float64)[:, None]
+    E = np.zeros((n2, 2, LANES, LANES), np.float32)
+    for s in range(n2):
+        k = n2 * np.arange(LANES, dtype=np.float64)[None, :] + s
+        ang2 = 2.0 * np.pi * b_idx * k / n_fft
+        E[s, 0] = scale * np.cos(ang2)
+        E[s, 1] = -scale * np.sin(ang2)
+
+    if feature_type == "mfcc":
+        filt = mel_matrix(p.sample_rate, p.n_filt, p.n_fft_bins)
+    else:
+        filt = bark_matrix(p.sample_rate, p.n_filt, p.n_fft)
+    filt_e = np.zeros((n_fft, _round_up(n_filt + 1, LANES)), np.float32)
+    for s in range(n2):
+        for j in range(LANES):
+            k = n2 * j + s
+            if k < n_bins:
+                kp = LANES * s + j
+                filt_e[kp, :n_filt] = filt[k]
+                filt_e[kp, n_filt] = 1.0
+    dct_t = numpy_ref.dct_matrix(n_filt).T.astype(np.float32)
+    return ct_cos, ct_sin, E, filt_e, dct_t
+
+
+def _coef_sum(planes, coefs, dtype):
+    """sum_a coefs[a]*planes[a] with compile-time zero-skip and ±1 folding."""
+    acc = None
+    for plane, c in zip(planes, coefs):
+        if abs(c) < 1e-12:
+            continue
+        if abs(c - 1.0) < 1e-12:
+            term = plane
+        elif abs(c + 1.0) < 1e-12:
+            term = -plane
+        else:
+            term = plane * dtype(c)
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
+def _dft8_real(x, dtype):
+    """8-point DFT of real vector planes x[0..7] via radix-2 DIT butterflies.
+
+    Returns (t_re, t_im) dicts for s in [0, 4] / [1, 3] — the conjugate
+    half T[8-s] = conj(T[s]) is reconstructed by the caller.  22 vector ops
+    (2 multiplies) vs ~70 for the generic coefficient sums.
+    """
+    # 4-point DFTs of the even- and odd-index samples
+    ev_a, ev_s = x[0] + x[4], x[0] - x[4]
+    ev_b, ev_t = x[2] + x[6], x[2] - x[6]
+    od_a, od_s = x[1] + x[5], x[1] - x[5]
+    od_b, od_t = x[3] + x[7], x[3] - x[7]
+    ev0, ev2 = ev_a + ev_b, ev_a - ev_b      # Ev[0], Ev[2]
+    od0, od2 = od_a + od_b, od_a - od_b      # Od[0], Od[2]
+    # Ev[1] = ev_s - i*ev_t ; Od[1] = od_s - i*od_t
+    # T[s] = Ev[s%4] + W8^s * Od[s%4]
+    # W8^1*Od[1] = κ(1-i)(od_s - i*od_t) = κ(od_s-od_t) - iκ(od_s+od_t)
+    # W8^3*Od[3] = κ(-1-i)(od_s + i*od_t) = -κ(od_s-od_t) - iκ(od_s+od_t)
+    kappa = dtype(np.sqrt(0.5))
+    u = (od_s - od_t) * kappa
+    v = (od_s + od_t) * kappa
+    t_re = {
+        0: ev0 + od0,
+        1: ev_s + u,
+        2: ev2,
+        3: ev_s - u,
+        4: ev0 - od0,
+    }
+    t_im = {
+        1: -ev_t - v,
+        2: -od2,
+        3: ev_t - v,
+    }
+    return t_re, t_im
+
+
 def make_fused_frontend(
     params: ListenerParams | None = None,
     feature_type: str = "mfcc",
     batch_tile: int = 8,
     interpret: bool = False,
     fast_math: bool = False,
+    dft_mode: str = "auto",
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
@@ -83,8 +205,23 @@ def make_fused_frontend(
     fast_math runs the DFT matmuls (the FLOPs-dominant stage) in bfloat16
     with float32 accumulation — ~|MFCC| error grows from ~1e-4 to ~1e-2
     (still far below feature variance); mel/DCT stay float32.
+
+    dft_mode: 'dense' = one big (W, bins) DFT matmul pair; 'ct' = two-stage
+    Cooley-Tukey GEMM DFT (~2.9x fewer MXU cycles, needs n_fft = n2*128 and
+    window == n_fft); 'auto' picks 'ct' when eligible.
     """
     p = params or pr
+    if dft_mode == "auto":
+        dft_mode = "ct" if _ct_eligible(p) else "dense"
+    if dft_mode == "ct":
+        if not _ct_eligible(p):
+            raise ValueError(
+                "dft_mode='ct' needs n_fft a multiple of 128 (>=256) and "
+                f"window_samples == n_fft; got window={p.window_samples} "
+                f"n_fft={p.n_fft}"
+            )
+        return _make_ct_frontend(p, feature_type, batch_tile, interpret,
+                                 fast_math)
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
     window, hop = p.window_samples, p.hop_samples
     n_samples = p.max_samples
@@ -93,8 +230,9 @@ def make_fused_frontend(
     inv_fft = np.float32(1.0 / p.n_fft)
     dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
 
-    def kernel(audio_ref, cos_ref, sin_ref, filt_ref, dct_ref, out_ref):
-        audio = audio_ref[:]  # (TB, S)
+    def kernel(gain_ref, audio_ref, cos_ref, sin_ref, filt_ref, dct_ref,
+               out_ref):
+        audio = audio_ref[:] * gain_ref[0, 0]  # (TB, S)
         frames = jnp.concatenate(
             [audio[:, t * hop : t * hop + window] for t in range(n_frames)]
         )  # (T*TB, W) — frame-major blocks, undone at the output reshape
@@ -118,11 +256,12 @@ def make_fused_frontend(
 
     matrices = tuple(jnp.asarray(m) for m in (cos, sin, filt, dct_t))
 
-    def frontend(audio: jax.Array) -> jax.Array:
+    def frontend(audio: jax.Array, gain=None) -> jax.Array:
         batch = audio.shape[0]
         assert batch % batch_tile == 0, (
             f"batch {batch} not a multiple of batch_tile {batch_tile}"
         )
+        gain = _gain_smem(gain)
         grid = (batch // batch_tile,)
         flops_tile = (
             2 * n_frames * batch_tile * window * cos.shape[1] * 2
@@ -133,6 +272,8 @@ def make_fused_frontend(
             kernel,
             grid=grid,
             in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (batch_tile, n_samples), lambda i: (i, 0),
                     memory_space=pltpu.VMEM,
@@ -153,6 +294,156 @@ def make_fused_frontend(
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
-        )(audio, *matrices)
+        )(gain, audio, *matrices)
+
+    return frontend
+
+
+def _gain_smem(gain) -> jax.Array:
+    """Normalise the optional audio pre-gain to a (1,1) f32 SMEM operand.
+
+    The gain exists for two reasons: automatic-gain-control style input
+    scaling in serving, and — fed an iteration-dependent value — it makes
+    benchmark scan bodies non-loop-invariant so XLA cannot hoist the kernel
+    (a fixed input would otherwise be computed once; see bench.py).
+    """
+    if gain is None:
+        return jnp.ones((1, 1), jnp.float32)
+    return jnp.asarray(gain, jnp.float32).reshape(1, 1)
+
+
+def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
+                      interpret: bool, fast_math: bool):
+    """Two-stage Cooley-Tukey GEMM-DFT variant of the fused frontend.
+
+    Replaces the dense (W, bins) DFT matmul pair with:
+      stage 1 (VPU): n2-point DFT across the lane-aligned planes
+        frame[:, 128a:128a+128] — real input, so only s <= n2/2 needed
+        (T[n2-s] = conj(T[s])) and T_i[0] = T_i[n2/2] = 0;
+      stage 2 (MXU): per residue s, (M,128)@(128,128) matmuls against
+        E_s[b, j] = W^{(n2 j + s) b} — 4 per generic s, 2 for s in {0, n2/2}
+        (28 total at n2=8 vs dense ~2x(W=1024 @ 640): ~2.9x fewer MXU cycles).
+
+    The output bins land permuted (piece s, column j <-> physical bin
+    k = n2*j + s); the permutation is absorbed into the filterbank matrix,
+    which also carries a valid-bin indicator column so the energy term and
+    the mirror-bin mask ride the same matmul.  Numerics: identical math to
+    the dense path (same rfft), float32 accumulation.
+    """
+    ct_cos, ct_sin, E, filt_e, dct_t = _ct_matrices(_params_key(p), feature_type)
+    n2 = p.n_fft // LANES
+    half = n2 // 2
+    window, hop = p.window_samples, p.hop_samples
+    n_samples = p.max_samples
+    n_frames = 1 + (n_samples - window) // hop
+    n_mfcc, n_filt = p.n_mfcc, p.n_filt
+    dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
+
+    def kernel(gain_ref, audio_ref, e_ref, filt_ref, dct_ref, out_ref):
+        audio = audio_ref[:] * gain_ref[0, 0]  # (TB, S)
+        # plane a = lane slice [128a, 128a+128) of every frame, frame-major
+        # rows (M = T*TB) — 128-aligned static slices, never a transpose
+        planes = [
+            jnp.concatenate(
+                [
+                    audio[:, t * hop + a * LANES : t * hop + (a + 1) * LANES]
+                    for t in range(n_frames)
+                ]
+            ).astype(dft_dtype)
+            for a in range(n2)
+        ]
+        if n2 == 8:
+            t_re, t_im = _dft8_real(planes, dft_dtype)
+        else:
+            t_re = {
+                s: _coef_sum(planes, ct_cos[s], dft_dtype)
+                for s in range(half + 1)
+            }
+            t_im = {
+                s: _coef_sum(planes, ct_sin[s], dft_dtype)
+                for s in range(1, half)
+            }
+
+        def mm(x, e):
+            return jnp.dot(x, e.astype(dft_dtype),
+                           preferred_element_type=jnp.float32)
+
+        pieces = []
+        for s in range(n2):
+            sr = s if s <= half else n2 - s
+            er, ei = e_ref[s, 0], e_ref[s, 1]
+            tr = t_re[sr]
+            if sr in (0, half):  # purely real T row
+                xr, xi = mm(tr, er), mm(tr, ei)
+            elif s <= half:
+                ti = t_im[sr]
+                xr = mm(tr, er) - mm(ti, ei)
+                xi = mm(tr, ei) + mm(ti, er)
+            else:  # T[s] = conj(T[sr])
+                ti = t_im[sr]
+                xr = mm(tr, er) + mm(ti, ei)
+                xi = mm(tr, ei) - mm(ti, er)
+            pieces.append(xr * xr + xi * xi)
+        power = jnp.concatenate(pieces, axis=-1)  # (M, n_fft), /n_fft folded in E
+
+        mels_e = jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
+        logs = jnp.log(jnp.clip(mels_e, LOG_EPS, None))
+        coeffs = jnp.dot(logs[:, :n_filt], dct_ref[:],
+                         preferred_element_type=jnp.float32)
+        out = jnp.concatenate(
+            [logs[:, n_filt : n_filt + 1], coeffs[:, 1:n_mfcc]], -1
+        )
+        out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
+
+    e_mat = jnp.asarray(E)
+    filt_mat = jnp.asarray(filt_e)
+    dct_mat = jnp.asarray(dct_t)
+
+    # MXU work per tile: stage-2 matmuls + filterbank + DCT
+    n_mm = 2 * 2 + 4 * (n2 - 2)
+    m_rows = n_frames * batch_tile
+
+    def frontend(audio: jax.Array, gain=None) -> jax.Array:
+        batch = audio.shape[0]
+        assert batch % batch_tile == 0, (
+            f"batch {batch} not a multiple of batch_tile {batch_tile}"
+        )
+        gain = _gain_smem(gain)
+        grid = (batch // batch_tile,)
+        flops_tile = (
+            2 * m_rows * LANES * LANES * n_mm
+            + 2 * m_rows * p.n_fft * (n_filt + 1)
+            + 2 * m_rows * n_filt * n_filt
+            + m_rows * LANES * 4 * n2 * n2  # stage-1 VPU upper bound
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (batch_tile, n_samples), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(E.shape, lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(filt_e.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(dct_t.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (batch_tile, n_frames, n_mfcc), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_tile * grid[0],
+                bytes_accessed=audio.size * 4 + batch * n_frames * n_mfcc * 4,
+                transcendentals=batch * n_frames * (n_filt + 1),
+            ),
+            interpret=interpret,
+        )(gain, audio, e_mat, filt_mat, dct_mat)
 
     return frontend
