@@ -31,7 +31,8 @@ from flax.training import train_state
 
 from ..data.dataset import Dataset, batch_iterator
 from ..losses import make_loss_fn
-from ..models import features_to_input, init_model
+from ..models import init_model
+from ..models.factory import is_cnn
 from ..parallel import batch_sharding, make_mesh, replicated, state_sharding
 from ..utils import path_names
 from .checkpoints import CheckpointManager
@@ -196,58 +197,201 @@ class Trainer:
 
             self.averager = WeightAverager(average_type, self.state.params)
 
+        # metric accumulation rides INSIDE the jitted step: on axon every
+        # eager op dispatch is a tunnel round-trip, so the fit loop must
+        # issue exactly one device call per batch
+        base_train = make_train_step(model, loss_fn, self.has_batch_stats,
+                                     device_pipeline)
+
+        def train_step_acc(state, x, y, mask, rng, totals):
+            state, metrics = base_train(state, x, y, mask, rng)
+            return state, jax.tree_util.tree_map(jnp.add, totals, metrics)
+
         self._train_step = jax.jit(
-            make_train_step(model, loss_fn, self.has_batch_stats,
-                            device_pipeline),
+            base_train,
             in_shardings=(st_shard, data, data, data, repl),
             out_shardings=(st_shard, repl),
             donate_argnums=(0,),
         )
+        self._train_step_acc = jax.jit(
+            train_step_acc,
+            in_shardings=(st_shard, data, data, data, repl, repl),
+            out_shardings=(st_shard, repl),
+            donate_argnums=(0, 5),
+        )
+        base_eval = make_eval_step(model, loss_fn, self.has_batch_stats,
+                                   device_pipeline)
+
+        def eval_step_acc(state, x, y, mask, sums):
+            out = base_eval(state, x, y, mask)
+            return jax.tree_util.tree_map(jnp.add, sums, out)
+
         self._eval_step = jax.jit(
-            make_eval_step(model, loss_fn, self.has_batch_stats,
-                           device_pipeline),
+            base_eval,
+            in_shardings=(st_shard, data, data, data),
+            out_shardings=repl,
+        )
+        self._eval_step_acc = jax.jit(
+            eval_step_acc,
+            in_shardings=(st_shard, data, data, data, repl),
+            out_shardings=repl,
+            donate_argnums=(4,),
+        )
+        # Whole-epoch jitted scans: on the tunneled axon platform each jit
+        # dispatch is round-trip-bound and dispatches do NOT pipeline, so a
+        # per-batch loop caps at ~25 steps/s regardless of step cost.  With
+        # the dataset device-resident, one dispatch runs the entire epoch
+        # (shuffle -> scan(train step) -> summed metrics).
+        def train_epoch_fn(state, x_all, y_all, m_all, rng, perm_key):
+            n_rows = x_all.shape[0]
+            n_b = n_rows // config.batch_size
+            perm = jax.random.permutation(perm_key, n_rows)
+
+            def body(carry, i):
+                st, totals = carry
+                rows = jax.lax.dynamic_slice_in_dim(
+                    perm, i * config.batch_size, config.batch_size
+                )
+                st, metrics = base_train(
+                    st,
+                    jnp.take(x_all, rows, axis=0),
+                    jnp.take(y_all, rows, axis=0),
+                    jnp.take(m_all, rows, axis=0),
+                    rng,
+                )
+                return (st, jax.tree_util.tree_map(jnp.add, totals, metrics)), None
+
+            zeros = {"loss": jnp.float32(0.0), "accuracy": jnp.float32(0.0)}
+            (state, totals), _ = jax.lax.scan(
+                body, (state, zeros), jnp.arange(n_b, dtype=jnp.int32)
+            )
+            return state, totals
+
+        def eval_epoch_fn(state, x_all, y_all, m_all):
+            n_b = x_all.shape[0] // config.batch_size
+            bshape = (n_b, config.batch_size)
+
+            def body(sums, batch):
+                xb, yb, mb = batch
+                out = base_eval(state, xb, yb, mb)
+                return jax.tree_util.tree_map(jnp.add, sums, out), None
+
+            zeros = {"loss_sum": jnp.float32(0.0), "correct": jnp.float32(0.0),
+                     "count": jnp.float32(0.0)}
+            sums, _ = jax.lax.scan(
+                body, zeros,
+                (x_all.reshape(bshape + x_all.shape[1:]),
+                 y_all.reshape(bshape), m_all.reshape(bshape)),
+            )
+            return sums
+
+        self._train_epoch = jax.jit(
+            train_epoch_fn,
+            in_shardings=(st_shard, data, data, data, repl, repl),
+            out_shardings=(st_shard, repl),
+            donate_argnums=(0,),
+        )
+        self._eval_epoch = jax.jit(
+            eval_epoch_fn,
             in_shardings=(st_shard, data, data, data),
             out_shardings=repl,
         )
         self._data_sharding = data
+        self._repl_sharding = repl
+        self._device_datasets: dict[int, tuple] = {}
+        self._host_step = 0  # mirrors state.step without device syncs
         self.history: list[EpochMetrics] = []
 
     # -- data placement ------------------------------------------------------
 
     def _device_batch(self, x, y, valid):
-        if self.device_pipeline is None:
-            x = features_to_input(jnp.asarray(x), self.model_type)
-        else:  # raw-audio path: the pipeline featurises inside the step
-            x = jnp.asarray(x)
-        y = jnp.asarray(y)
-        # host-side mask (one device_put instead of three tiny dispatches)
+        # prepare entirely on the host (numpy) — an eager jnp reshape here
+        # would be a separate device dispatch (tunnel round-trip) per batch
+        x = np.asarray(x)
+        if self.device_pipeline is None and is_cnn(self.model_type):
+            x = x[..., None]
         mask = (np.arange(len(y)) < valid).astype(np.float32)
         put = partial(jax.device_put, device=self._data_sharding)
-        return put(x), put(y), put(mask)
+        return put(x), put(np.asarray(y)), put(mask)
+
+    # max bytes staged on device for the whole-epoch scan path; larger
+    # datasets (or weight-averaging runs, which update host state per step)
+    # use the per-batch loop instead
+    scan_staging_limit_bytes: int = 2 << 30
+
+    def _use_scan(self, ds: Dataset) -> bool:
+        if self.averager is not None:
+            return False
+        return ds.x.nbytes + ds.y.nbytes <= self.scan_staging_limit_bytes
+
+    def _stage_dataset(self, ds: Dataset):
+        """Pad ds to a batch multiple and place it on device ONCE (cached);
+        returns (x_all, y_all, mask_all, n_batches)."""
+        key = id(ds)
+        cached = self._device_datasets.get(key)
+        if cached is not None and cached[0] == len(ds):
+            return cached[1]
+        b = self.config.batch_size
+        n = len(ds)
+        n_pad = max(1, -(-n // b)) * b
+        x = np.asarray(ds.x, np.float32)
+        if self.device_pipeline is None and is_cnn(self.model_type):
+            x = x[..., None]
+        x_all = np.zeros((n_pad,) + x.shape[1:], np.float32)
+        x_all[:n] = x
+        y_all = np.zeros(n_pad, np.int32)
+        y_all[:n] = np.asarray(ds.y, np.int32)
+        m_all = np.zeros(n_pad, np.float32)
+        m_all[:n] = 1.0
+        put = partial(jax.device_put, device=self._data_sharding)
+        staged = (put(x_all), put(y_all), put(m_all), n_pad // b)
+        self._device_datasets[key] = (n, staged)
+        return staged
 
     # -- epoch loops ---------------------------------------------------------
 
     def run_epoch(self, ds: Dataset, rng: jax.Array, epoch: int) -> dict:
+        """One pass over ds.  The loop never synchronises with the device:
+        per-step metrics accumulate in a device-resident sum (async adds)
+        and are fetched ONCE at epoch end — a float() per step would block
+        on every train step (and cost a tunnel round-trip each)."""
         cfg = self.config
-        totals = {"loss": 0.0, "accuracy": 0.0}
+        if self._use_scan(ds):
+            x_all, y_all, m_all, n_b = self._stage_dataset(ds)
+            perm_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
+            self.state, totals = self._train_epoch(
+                self.state, x_all, y_all, m_all, rng, perm_key
+            )
+            self._host_step += n_b
+            host = jax.device_get(totals)
+            return {k: float(v) / n_b for k, v in host.items()}
+
+        totals = jax.device_put(
+            {"loss": jnp.float32(0.0), "accuracy": jnp.float32(0.0)},
+            self._repl_sharding,
+        )
         n_batches = 0
         for x, y, valid in batch_iterator(
             ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
         ):
             xb, yb, mb = self._device_batch(x, y, valid)
-            self.state, metrics = self._train_step(self.state, xb, yb, mb, rng)
+            self.state, totals = self._train_step_acc(
+                self.state, xb, yb, mb, rng, totals
+            )
+            self._host_step += 1
             if self.averager is not None:
                 synced = self.averager.observe(
-                    int(self.state.step), self.state.params
+                    self._host_step, self.state.params
                 )
                 if synced is not None:  # lookahead fast-weights reset
                     self.state = self.state.replace(
                         params=jax.device_put(synced, self._st_shard.params)
                     )
-            totals["loss"] += float(metrics["loss"])
-            totals["accuracy"] += float(metrics["accuracy"])
             n_batches += 1
-        return {k: v / max(n_batches, 1) for k, v in totals.items()}
+        if n_batches == 0:
+            return {"loss": 0.0, "accuracy": 0.0}
+        host = jax.device_get(totals)  # single sync per epoch
+        return {k: float(v) / n_batches for k, v in host.items()}
 
     def _eval_state(self):
         """State used for evaluation/checkpoints — averaged params when
@@ -259,19 +403,36 @@ class Trainer:
         )
 
     def evaluate(self, ds: Dataset) -> dict:
-        sums = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+        if self._use_scan(ds):
+            x_all, y_all, m_all, _ = self._stage_dataset(ds)
+            host = jax.device_get(
+                self._eval_epoch(self._eval_state(), x_all, y_all, m_all)
+            )
+            count = max(float(host["count"]), 1.0)
+            return {
+                "loss": float(host["loss_sum"]) / count,
+                "accuracy": float(host["correct"]) / count,
+            }
+
+        sums = jax.device_put(
+            {"loss_sum": jnp.float32(0.0), "correct": jnp.float32(0.0),
+             "count": jnp.float32(0.0)}, self._repl_sharding,
+        )
         eval_state = self._eval_state()
+        n_batches = 0
         for x, y, valid in batch_iterator(
             ds, self.config.batch_size, shuffle=False
         ):
             xb, yb, mb = self._device_batch(x, y, valid)
-            out = self._eval_step(eval_state, xb, yb, mb)
-            for k in sums:
-                sums[k] += float(out[k])
-        count = max(sums["count"], 1.0)
+            sums = self._eval_step_acc(eval_state, xb, yb, mb, sums)
+            n_batches += 1
+        if n_batches == 0:
+            return {"loss": 0.0, "accuracy": 0.0}
+        host = jax.device_get(sums)  # single sync per eval pass
+        count = max(float(host["count"]), 1.0)
         return {
-            "loss": sums["loss_sum"] / count,
-            "accuracy": sums["correct"] / count,
+            "loss": float(host["loss_sum"]) / count,
+            "accuracy": float(host["correct"]) / count,
         }
 
     # -- LR plateau (host-side; only for injectable constant-LR optimizers) --
