@@ -75,3 +75,48 @@ def test_frozen_pb_parity(tmp_path):
     pb_predict, pb_fmt = load_inference_model(pb_path)
     assert pb_fmt == "PB"
     np.testing.assert_allclose(pb_predict(feats), ref_scores, rtol=1e-4, atol=1e-5)
+
+
+# -- ONNX (direct emitter + mini runtime; no tf2onnx/onnxruntime needed) ------
+
+@pytest.mark.parametrize(
+    "model_type", ["simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"]
+)
+def test_onnx_export_parity(model_type, tmp_path):
+    from tpu_speech_commands.export.saved_model import export_onnx
+
+    ckpt = _make_checkpoint(tmp_path, model_type)
+    native, _ = load_inference_model(ckpt)
+    onnx_path = str(tmp_path / "model.onnx")
+    export_onnx(ckpt, onnx_path)
+
+    onnx_predict, fmt = load_inference_model(onnx_path)
+    assert fmt == "ONNX"
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((4, 30, 20)).astype(np.float32)
+    scores = onnx_predict(feats)
+    np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(scores, native(feats), rtol=1e-4, atol=1e-5)
+
+
+def test_onnx_wire_format_reparses(tmp_path):
+    """The emitted file must round-trip through the strict parser with the
+    expected graph inventory (guards the hand-rolled protobuf encoding)."""
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+    from tpu_speech_commands.export.saved_model import export_onnx
+
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn")
+    onnx_path = str(tmp_path / "model.onnx")
+    export_onnx(ckpt, onnx_path)
+    m = OnnxModel(onnx_path)
+    assert m.inputs == ["feature_input"]
+    assert m.outputs == ["score_predict"]
+    ops = [n[0] for n in m.nodes]
+    assert ops.count("Conv") == 4
+    assert ops.count("BatchNormalization") == 4
+    assert ops.count("MaxPool") == 3
+    assert ops.count("Gemm") == 2
+    assert ops[-1] == "Softmax"
+    # initializer tensors carry real data
+    w = m.initializers["block1_w"]
+    assert w.shape == (16, 1, 3, 3) and w.dtype == np.float32

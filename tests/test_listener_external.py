@@ -67,3 +67,38 @@ def test_listener_with_tflite_model(tmp_path, capsys):
     np.testing.assert_allclose(
         np.stack(ext_scores), np.stack(nat_scores), rtol=1e-3, atol=1e-3
     )
+
+
+def test_listener_with_onnx_model(tmp_path, capsys):
+    """Streaming listen with an exported .onnx model (built-in executor) —
+    the reference's ONNX listen path (listen.py:192-209)."""
+    from tpu_speech_commands.export.saved_model import export_onnx
+
+    classes_path = tmp_path / "classes.txt"
+    classes_path.write_text("\n".join(CLASSES) + "\n")
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_gru", len(CLASSES), tx,
+                                      jax.random.PRNGKey(2))
+    ckpt = tmp_path / "model.npz"
+    save_checkpoint(str(ckpt), state, {
+        "model_type": "simple_gru", "num_classes": len(CLASSES),
+        "classes": CLASSES,
+    })
+    onnx_path = tmp_path / "model.onnx"
+    export_onnx(str(ckpt), str(onnx_path))
+
+    rng = np.random.default_rng(3)
+    audio = synth_command_audio("right", rng)
+    wav_path = tmp_path / "in.wav"
+    save_audio(str(wav_path), audio)
+
+    listener = Listener(
+        model_path=str(onnx_path),
+        classes_path=str(classes_path),
+        input_wav=str(wav_path),
+    )
+    assert listener.model_format == "ONNX"
+    listener.run_wav()
+    out = capsys.readouterr().out
+    assert out.count("\n") == len(audio) // 1024

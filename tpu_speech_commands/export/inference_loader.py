@@ -8,8 +8,11 @@ batch to (B, num_classes) softmax scores:
 - ``.tflite``       TFLite flat buffer -> tf.lite.Interpreter
 - ``.h5``/``.keras``  Keras model (reference-trained artifacts load directly)
 - SavedModel dir    TF serving signature
-- ``.onnx``/``.mnn``  gated: raised with an actionable message when the
-                    runtime isn't installed (onnxruntime/MNN are optional)
+- ``.onnx``         onnxruntime when installed, else the built-in numpy
+                    executor (onnx_runtime_mini) for graphs this framework
+                    emits
+- ``.mnn``          gated: raised with an actionable message (the MNN
+                    python runtime is optional and not shipped)
 
 Each backend adapts input rank like the reference predictors
 (eval.py:53-55): 3-D model inputs get the channel axis squeezed.
@@ -179,11 +182,9 @@ def load_inference_model(model_path: str):
     if model_path.endswith(".onnx"):
         try:
             import onnxruntime  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "onnxruntime is not installed; install it to run .onnx models, "
-                "or use the .npz/.tflite paths"
-            ) from e
+        except ImportError:
+            # built-in numpy executor (covers the graphs onnx_writer emits)
+            return _load_onnx_mini(model_path), "ONNX"
         return _load_onnx(model_path), "ONNX"
     if model_path.endswith(".mnn"):
         raise ImportError(
@@ -191,6 +192,22 @@ def load_inference_model(model_path: str):
             "native/ or the .npz/.tflite paths"
         )
     raise ValueError(f"invalid model file: {model_path}")
+
+
+def _load_onnx_mini(model_path: str):
+    from .onnx_runtime_mini import OnnxModel
+
+    model = OnnxModel(model_path)
+    input_name = model.inputs[0]
+    # rank from the first Transpose/Slice consumer is ambiguous; infer from
+    # the graph: CNN exports start with a Transpose to NCHW (rank 4)
+    in_rank = 4 if model.nodes and model.nodes[0][0] == "Transpose" else 3
+
+    def predict(features):
+        feats = _adapt_rank(features, in_rank)
+        return model.run({input_name: feats})["score_predict"]
+
+    return predict
 
 
 def _load_onnx(model_path: str):

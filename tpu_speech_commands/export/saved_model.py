@@ -128,24 +128,15 @@ def export_frozen_pb(checkpoint_path: str, output_file: str) -> str:
 
 
 def export_onnx(checkpoint_path: str, output_file: str, opset: int = 13) -> str:
-    """Native checkpoint -> .onnx via tf2onnx (gated on availability)."""
-    try:
-        import tf2onnx  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "tf2onnx is not installed; export to SavedModel/TFLite instead, "
-            "or install tf2onnx for ONNX export"
-        ) from e
-    import tempfile
+    """Native checkpoint -> .onnx (reference: keras_to_onnx.py:30-51).
 
-    import tf2onnx.convert
+    Uses the built-in direct ONNX emitter (onnx_writer.py — no tf2onnx /
+    onnx dependency); `opset` is accepted for CLI compatibility but the
+    emitted graphs only use core ops stable since opset 13."""
+    from .onnx_writer import export_onnx_model
 
-    with tempfile.TemporaryDirectory() as tmp:
-        saved = export_saved_model(checkpoint_path, tmp, batch_size=1)
-        tf2onnx.convert.from_saved_model(
-            saved, opset=opset, output_path=output_file
-        )
-    return output_file
+    del opset  # graphs are opset-13 core ops regardless
+    return export_onnx_model(checkpoint_path, output_file)
 
 
 def _emit_sidecars(output_dir: str, predict) -> None:
