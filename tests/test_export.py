@@ -120,3 +120,74 @@ def test_onnx_wire_format_reparses(tmp_path):
     # initializer tensors carry real data
     w = m.initializers["block1_w"]
     assert w.shape == (16, 1, 3, 3) and w.dtype == np.float32
+
+
+# -- quantization parity (reference TOCO --quantize / MNN PTQ analogues) ------
+
+def _train_small(tmp_path, model_type="simple_cnn_lite", epochs=10):
+    """Short real training run so quantization acts on meaningful weights."""
+    from tpu_speech_commands.data.dataset import Dataset
+    from tpu_speech_commands.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    n_per, n_cls = 40, len(CLASSES)
+    centers = rng.standard_normal((n_cls, 30, 20)) * 2.0
+    x = np.concatenate([
+        centers[c] + 0.3 * rng.standard_normal((n_per, 30, 20))
+        for c in range(n_cls)
+    ]).astype(np.float32)
+    y = np.repeat(np.arange(n_cls), n_per).astype(np.int32)
+    ds = Dataset(x, y)
+
+    tx = get_optimizer("adam", 3e-3, decay_type=None)
+    model, state = create_train_state(model_type, n_cls, tx,
+                                      jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=32, epochs=epochs,
+                        log_dir=str(tmp_path / "qlogs"),
+                        log_tensorboard=False)
+    trainer = Trainer(model, state, model_type, n_cls, cfg)
+    trainer.fit(ds, ds, verbose=False)
+    ckpt = str(tmp_path / "qlogs" / "trained_final.npz")
+    assert os.path.exists(ckpt)
+    holdout = (centers[:, None] + 0.3 * rng.standard_normal(
+        (n_cls, 16, 30, 20))).reshape(-1, 30, 20).astype(np.float32)
+    holdout_y = np.repeat(np.arange(n_cls), 16)
+    return ckpt, x, holdout, holdout_y
+
+
+def test_tflite_dynamic_quantize_top1_agreement(tmp_path):
+    ckpt, _, holdout, holdout_y = _train_small(tmp_path)
+    float_path = str(tmp_path / "float.tflite")
+    quant_path = str(tmp_path / "quant.tflite")
+    export_tflite(ckpt, float_path)
+    export_tflite(ckpt, quant_path, quantize=True)
+    assert os.path.getsize(quant_path) < 0.6 * os.path.getsize(float_path)
+
+    fp, _ = load_inference_model(float_path)
+    qp, _ = load_inference_model(quant_path)
+    fs, qs = fp(holdout), qp(holdout)
+    # top-1 agreement on the held-out set and bounded score drift
+    agree = (fs.argmax(-1) == qs.argmax(-1)).mean()
+    assert agree >= 0.98, agree
+    assert np.abs(fs - qs).max() < 0.05
+    # accuracy within 2 points of float
+    facc = (fs.argmax(-1) == holdout_y).mean()
+    qacc = (qs.argmax(-1) == holdout_y).mean()
+    assert qacc >= facc - 0.02, (facc, qacc)
+
+
+def test_tflite_full_int8_quantize_with_representative_data(tmp_path):
+    ckpt, train_x, holdout, holdout_y = _train_small(tmp_path)
+    float_path = str(tmp_path / "float.tflite")
+    int8_path = str(tmp_path / "int8.tflite")
+    export_tflite(ckpt, float_path)
+    export_tflite(ckpt, int8_path, representative_data=train_x[:32])
+
+    fp, _ = load_inference_model(float_path)
+    qp, _ = load_inference_model(int8_path)
+    fs, qs = fp(holdout), qp(holdout)
+    agree = (fs.argmax(-1) == qs.argmax(-1)).mean()
+    assert agree >= 0.95, agree
+    facc = (fs.argmax(-1) == holdout_y).mean()
+    qacc = (qs.argmax(-1) == holdout_y).mean()
+    assert qacc >= facc - 0.05, (facc, qacc)

@@ -30,7 +30,11 @@ def main():
                                  "keras_h5", "native"])
     parser.add_argument("--output_path", type=str, required=True)
     parser.add_argument("--quantize", action="store_true",
-                        help="TFLite post-training quantization")
+                        help="TFLite dynamic-range 8-bit weight quantization")
+    parser.add_argument("--calibration_features", type=str, default=None,
+                        help="npy/npz of (N, n_features, feature_size) "
+                             "features for full int8 activation calibration "
+                             "(MNN quantized.out analogue)")
     parser.add_argument("--params_path", type=str, default=None)
     args = parser.parse_args()
 
@@ -48,7 +52,14 @@ def main():
     if args.format == "saved_model":
         out = export_saved_model(args.checkpoint, args.output_path)
     elif args.format == "tflite":
-        out = export_tflite(args.checkpoint, args.output_path, args.quantize)
+        rep = None
+        if args.calibration_features:
+            import numpy as np
+
+            loaded = np.load(args.calibration_features)
+            rep = loaded[loaded.files[0]] if hasattr(loaded, "files") else loaded
+        out = export_tflite(args.checkpoint, args.output_path, args.quantize,
+                            representative_data=rep)
     elif args.format == "pb":
         out = export_frozen_pb(args.checkpoint, args.output_path)
     elif args.format == "keras_h5":

@@ -69,14 +69,23 @@ def export_tflite(
     checkpoint_path: str,
     output_file: str,
     quantize: bool = False,
+    representative_data=None,
 ) -> str:
     """Native checkpoint -> .tflite flat buffer (fixed batch 1).
 
     RNN models export their `lax.scan` as TFLite control-flow ops
     (SELECT_TF_OPS fallback enabled for robustness).
+
+    quantize=True applies dynamic-range 8-bit weight quantization (the
+    reference's TOCO --quantize analogue, keras_to_tensorflow.py:128-137).
+    Passing `representative_data` — an (N, n_features, feature_size)
+    feature array — additionally calibrates activations for full
+    post-training quantization (the reference's MNN KL-quantize analogue,
+    inference/README.md:369-416); I/O stays float for drop-in use.
     """
     import tempfile
 
+    import numpy as np
     import tensorflow as tf
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -86,8 +95,26 @@ def export_tflite(
             tf.lite.OpsSet.TFLITE_BUILTINS,
             tf.lite.OpsSet.SELECT_TF_OPS,
         ]
-        if quantize:
+        if quantize or representative_data is not None:
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        if representative_data is not None:
+            from ..training.checkpoints import load_checkpoint
+
+            _, meta = load_checkpoint(checkpoint_path)
+            is_cnn_model = meta.get("model_type", "") in (
+                "simple_cnn", "simple_cnn_lite",
+            )
+            samples = np.asarray(representative_data, np.float32)
+            if is_cnn_model and samples.ndim == 3:
+                samples = samples[..., None]
+            elif not is_cnn_model and samples.ndim == 4:
+                samples = samples[..., 0]
+
+            def rep_gen():
+                for row in samples:
+                    yield [row[None, ...]]
+
+            converter.representative_dataset = rep_gen
         blob = converter.convert()
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with open(output_file, "wb") as f:
