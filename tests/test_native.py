@@ -139,3 +139,15 @@ def test_native_apps_run(tmp_path, audio):
     ).stdout
     # one bar per full chunk
     assert out.count("\n") >= len(audio) // 1024
+
+
+def test_alsa_app_compiles(build_native):
+    """The live-mic app must build everywhere: against real libasound when
+    present, else as an object-only compile check vs compat/alsa_stub."""
+    build_dir = os.path.join(REPO, "native", "build")
+    linked = os.path.join(build_dir, "speech_commands_alsa")
+    obj = os.path.join(
+        build_dir, "CMakeFiles", "speech_commands_alsa_compile_check.dir",
+        "speech_commands_alsa.cc.o",
+    )
+    assert os.path.exists(linked) or os.path.exists(obj)
