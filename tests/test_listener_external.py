@@ -102,3 +102,54 @@ def test_listener_with_onnx_model(tmp_path, capsys):
     listener.run_wav()
     out = capsys.readouterr().out
     assert out.count("\n") == len(audio) // 1024
+
+
+def _ckpt_and_wav(tmp_path, model_type, command):
+    classes_path = tmp_path / "classes.txt"
+    classes_path.write_text("\n".join(CLASSES) + "\n")
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state(model_type, len(CLASSES), tx,
+                                      jax.random.PRNGKey(4))
+    ckpt = tmp_path / "model.npz"
+    save_checkpoint(str(ckpt), state, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES,
+    })
+    rng = np.random.default_rng(5)
+    wav_path = tmp_path / "in.wav"
+    save_audio(str(wav_path), synth_command_audio(command, rng))
+    return ckpt, classes_path, wav_path
+
+
+def test_listener_with_frozen_pb_model(tmp_path, capsys):
+    """Streaming listen with a frozen-graph .pb model — the reference's PB
+    listen path (listen.py:143-170)."""
+    from tpu_speech_commands.export.saved_model import export_frozen_pb
+
+    ckpt, classes_path, wav_path = _ckpt_and_wav(tmp_path, "simple_cnn_lite",
+                                                 "left")
+    pb_path = tmp_path / "model.pb"
+    export_frozen_pb(str(ckpt), str(pb_path))
+    listener = Listener(model_path=str(pb_path),
+                        classes_path=str(classes_path),
+                        input_wav=str(wav_path))
+    assert listener.model_format == "PB"
+    listener.run_wav()
+    assert capsys.readouterr().out.count("\n") > 0
+
+
+def test_listener_with_keras_h5_model(tmp_path, capsys):
+    """Streaming listen with a Keras .h5 model — the reference's primary
+    listen path (listen.py:138-140)."""
+    from tpu_speech_commands.export.keras_interop import export_keras_h5
+
+    ckpt, classes_path, wav_path = _ckpt_and_wav(tmp_path, "simple_cnn_lite",
+                                                 "right")
+    h5_path = tmp_path / "model.h5"
+    export_keras_h5(str(ckpt), str(h5_path))
+    listener = Listener(model_path=str(h5_path),
+                        classes_path=str(classes_path),
+                        input_wav=str(wav_path))
+    assert listener.model_format == "H5"
+    listener.run_wav()
+    assert capsys.readouterr().out.count("\n") > 0
