@@ -147,3 +147,57 @@ def test_plot_tools(tmp_path, wav_dir):
     run_tool("plot_spectrogram.py", "--audio_file", str(wav_dir / "tone_0.wav"),
              "--output_file", str(out2), cwd=misc)
     assert out2.exists()
+
+
+def test_speech_command_split(tmp_path):
+    """VAD segmentation: wake+command recordings split to the command
+    segment; undetectable files land in the backup dir."""
+    from tpu_speech_commands.data.wav import load_wav, save_audio
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    t = lambda n: np.arange(n) / sr  # noqa: E731
+
+    def tone(seconds, freq):
+        return 0.5 * np.sin(2 * np.pi * freq * t(int(sr * seconds)))
+
+    def silence(seconds):
+        return 0.002 * rng.standard_normal(int(sr * seconds))
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # wake word (0.5-1.1s) then command (2.0-2.8s)
+    rec = np.concatenate([
+        silence(0.5), tone(0.6, 500), silence(0.9), tone(0.8, 700),
+        silence(0.5),
+    ]).astype(np.float32)
+    save_audio(str(raw / "good.wav"), rec, sample_rate=sr)
+    # a single long tone: only one segment -> goes to backup
+    save_audio(str(raw / "bad.wav"),
+               np.concatenate([silence(0.3), tone(2.0, 600), silence(0.3)])
+               .astype(np.float32), sample_rate=sr)
+
+    # single-file mode prints the detected sections
+    out = run_tool("speech_command_split.py", "--wav_path",
+                   str(raw / "good.wav"))
+    assert "speech sections" in out.stdout
+    assert out.stdout.count("speech_begin") == 2
+
+    # directory mode: split + backup
+    split_dir, backup_dir = tmp_path / "split", tmp_path / "backup"
+    out = run_tool(
+        "speech_command_split.py", "--wav_path", str(raw),
+        "--split_output_path", str(split_dir),
+        "--backup_path", str(backup_dir),
+    )
+    assert "number of split wav file: 1" in out.stdout
+    assert (split_dir / "good.wav").exists()
+    assert (backup_dir / "bad.wav").exists()
+
+    # the extracted clip contains the command tone (700 Hz), and with the
+    # default 1 s head slack it is shorter than the original recording
+    clip = load_wav(str(split_dir / "good.wav"), sample_rate=sr)
+    assert len(clip) < len(rec)
+    spec = np.abs(np.fft.rfft(clip))
+    freqs = np.fft.rfftfreq(len(clip), 1 / sr)
+    assert abs(freqs[spec.argmax()] - 700) < 20

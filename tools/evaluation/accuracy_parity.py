@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Accuracy-parity head-to-head: tf.keras reference architecture vs this
+framework, trained on IDENTICAL data with the reference recipe.
+
+The reference trains with `model.fit` (batch 512, adam @ 1e-3, val_split
+0.15 — /root/reference/train.py:74-95, README.md:104).  This harness:
+
+1. builds a 36-class synthetic wav dataset (GSC class list) and extracts
+   MFCC features ONCE — both frameworks consume the same arrays and the
+   same train/val split;
+2. trains the tf.keras build of the reference architecture
+   (export/keras_interop.build_keras_model — same topology as
+   classifier/models/cnn.py) with the reference recipe;
+3. trains this framework's model with the same recipe;
+4. cross-loads the Keras-trained H5 into the JAX model and re-evaluates —
+   weight-level interop must reproduce the Keras accuracy.
+
+Prints a markdown table row for PARITY.md.  Runs on CPU by default so the
+comparison is device-independent (and leaves the TPU free).
+
+    python tools/evaluation/accuracy_parity.py --epochs 40
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model_type", default="simple_cnn")
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--samples_per_class", type=int, default=60)
+    parser.add_argument("--val_split", type=float, default=0.15)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--work_dir", default="/tmp/accuracy_parity")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from tpu_speech_commands.data.dataset import get_dataset
+    from tpu_speech_commands.data.synthetic import make_synthetic_dataset
+    from tpu_speech_commands.utils.common import get_classes
+
+    classes = get_classes(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "configs", "speech_commands_classes.txt",
+    ))
+    ds_root = os.path.join(args.work_dir, "ds36")
+    if not os.path.isdir(os.path.join(ds_root, "sounds")):
+        print(f"Building {len(classes)}-class synthetic dataset ...")
+        make_synthetic_dataset(ds_root, classes,
+                               samples_per_class=args.samples_per_class,
+                               seed=args.seed)
+
+    full = get_dataset(ds_root, classes)
+    x, y = np.asarray(full.x, np.float32), np.asarray(full.y, np.int64)
+
+    # one fixed shuffled split shared by both frameworks
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(x))
+    n_val = int(len(x) * args.val_split)
+    val_idx, train_idx = order[:n_val], order[n_val:]
+    x_train, y_train = x[train_idx], y[train_idx]
+    x_val, y_val = x[val_idx], y[val_idx]
+    print(f"train {len(x_train)} / val {len(x_val)} samples, "
+          f"{len(classes)} classes, features {x.shape[1:]}")
+
+    keras_acc, h5_path = train_keras(args, classes, x_train, y_train,
+                                     x_val, y_val)
+    jax_acc = train_jax(args, classes, x_train, y_train, x_val, y_val)
+    cross_acc = cross_load_eval(args, classes, h5_path, x_val, y_val)
+
+    print("\n== accuracy parity (final val top-1) ==")
+    print(f"| {args.model_type} ({len(classes)}-class synthetic, "
+          f"batch {args.batch_size}, adam {args.learning_rate}, "
+          f"{args.epochs} epochs) "
+          f"| Keras (reference arch): **{keras_acc:.4f}** "
+          f"| this framework: **{jax_acc:.4f}** "
+          f"| Keras H5 cross-loaded into JAX: **{cross_acc:.4f}** |")
+
+
+def train_keras(args, classes, x_train, y_train, x_val, y_val):
+    import tensorflow as tf
+
+    from tpu_speech_commands.export.keras_interop import build_keras_model
+
+    tf.keras.utils.set_random_seed(args.seed)
+    model = build_keras_model(args.model_type, len(classes),
+                              n_features=x_train.shape[1],
+                              feature_size=x_train.shape[2])
+    model.compile(
+        optimizer=tf.keras.optimizers.Adam(learning_rate=args.learning_rate),
+        loss=tf.keras.losses.SparseCategoricalCrossentropy(),
+        metrics=["accuracy"],
+    )
+    xt = x_train[..., None] if model.input_shape[-1] == 1 else x_train
+    xv = x_val[..., None] if model.input_shape[-1] == 1 else x_val
+    hist = model.fit(
+        xt, y_train, batch_size=args.batch_size, epochs=args.epochs,
+        validation_data=(xv, y_val), shuffle=True, verbose=0,
+    )
+    acc = float(hist.history["val_accuracy"][-1])
+    h5_path = os.path.join(args.work_dir, "keras_trained.h5")
+    model.save(h5_path)
+    print(f"keras final val_accuracy: {acc:.4f}")
+    return acc, h5_path
+
+
+def train_jax(args, classes, x_train, y_train, x_val, y_val):
+    import jax
+    import numpy as np
+
+    from tpu_speech_commands.data.dataset import Dataset
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.training import (
+        Trainer, TrainerConfig, create_train_state,
+    )
+
+    tx = get_optimizer("adam", args.learning_rate, decay_type=None,
+                       injectable=True)
+    model, state = create_train_state(args.model_type, len(classes), tx,
+                                      jax.random.PRNGKey(args.seed))
+    cfg = TrainerConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        log_dir=os.path.join(args.work_dir, "jax_logs"),
+        log_tensorboard=False, seed=args.seed,
+        # keep the comparison a pure fit-loop contest, as model.fit has no
+        # plateau/early-stop here (train.py only adds them via callbacks)
+        use_plateau=False, early_stopping_patience=10 ** 9,
+    )
+    trainer = Trainer(model, state, args.model_type, len(classes), cfg)
+    history = trainer.fit(
+        Dataset(x_train, np.asarray(y_train, np.int32)),
+        Dataset(x_val, np.asarray(y_val, np.int32)),
+        verbose=False,
+    )
+    acc = history[-1].val_accuracy
+    print(f"jax   final val_accuracy: {acc:.4f}")
+    return acc
+
+
+def cross_load_eval(args, classes, h5_path, x_val, y_val):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_speech_commands.export.keras_interop import load_keras_h5_weights
+    from tpu_speech_commands.models import (
+        features_to_input, get_model, score_fn,
+    )
+
+    variables = load_keras_h5_weights(h5_path, args.model_type, len(classes))
+    model = get_model(args.model_type, len(classes))
+    x = features_to_input(jnp.asarray(x_val), args.model_type)
+    scores = np.asarray(score_fn(model.apply(variables, x, train=False)))
+    acc = float((scores.argmax(-1) == y_val).mean())
+    print(f"keras H5 -> JAX cross-load val_accuracy: {acc:.4f}")
+    return acc
+
+
+if __name__ == "__main__":
+    main()
