@@ -27,8 +27,6 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
@@ -40,11 +38,24 @@ def main():
     parser.add_argument("--val_split", type=float, default=0.15)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--work_dir", default="/tmp/accuracy_parity")
+    parser.add_argument("--jax_platform", default=None,
+                        choices=[None, "cpu", "tpu"],
+                        help="force the JAX side onto a platform (default: "
+                             "whatever jax picks — the TPU when tunneled); "
+                             "Keras/TF always runs on CPU here")
     args = parser.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.jax_platform:
+        # env var too: enable_compilation_cache re-applies JAX_PLATFORMS
+        os.environ["JAX_PLATFORMS"] = args.jax_platform
+        jax.config.update("jax_platforms", args.jax_platform)
+    from tpu_speech_commands.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     import numpy as np
 
     from tpu_speech_commands.data.dataset import get_dataset
