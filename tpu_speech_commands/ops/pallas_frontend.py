@@ -81,6 +81,9 @@ def _ct_eligible(p: ListenerParams) -> bool:
     )
 
 
+CT_J = LANES // 2  # stage-2 columns per residue: k = n2*j + s, j < 64
+
+
 @functools.lru_cache()
 def _ct_matrices(params_key, feature_type: str):
     """Constants for the two-stage Cooley-Tukey GEMM DFT (docs/DESIGN.md §2).
@@ -91,21 +94,28 @@ def _ct_matrices(params_key, feature_type: str):
         T[s, b]      = sum_a frame[128a+b] * W_n2^{s a}      (VPU stage)
         X[n2*j + s]  = sum_b T[s, b] * W_nfft^{(n2 j + s) b} (MXU stage)
 
+    Only the physical half-spectrum is computed: per residue s the j < 64
+    columns cover bins k = n2*j + s <= n_fft/2 - 1 (mirror bins are
+    redundant for power), so real and imaginary parts PACK into one
+    128-lane matmul: [Xr | Xi] = T_r @ [Er|Ei] ± T_i @ [-Ei|Er].  The one
+    remaining bin — Nyquist, k = n_fft/2 — is real and falls out of T[0]
+    as an alternating-sign row sum (X[nyq] = sum_b (-1)^b T[0, b]).
+
     Returns:
       ct_cos/ct_sin — (n2, n2) stage-1 coefficient tables (host constants,
         baked into the kernel as scalars; zeros/±1 folded away)
-      E — (n2, 2, 128, 128) stage-2 real/imag matrices, pre-scaled by
-        1/sqrt(n_fft) so |X|^2 lands already power-normalised
-      filt_e — (n_fft, pad(n_filt+1)) permuted filterbank: row
-        kp = 128*s + j holds filter weights for physical bin k = n2*j + s;
-        mirror bins (k > n_fft/2) stay zero, and column n_filt is the
-        valid-bin indicator so total energy rides the same matmul
+      e2a/e2b — (n2, 128, 128) packed stage-2 matrices [Er|Ei] / [-Ei|Er],
+        pre-scaled by 1/sqrt(n_fft) so |X|^2 lands power-normalised
+      filt_half — (n_fft/2, pad(n_filt+1)) permuted filterbank: row
+        s*64 + j holds the weights of physical bin k = n2*j + s, and
+        column n_filt is an all-ones energy flag so total energy rides
+        the same matmul
+      filt_nyq — (1, pad(n_filt+1)) the Nyquist bin's filter row
       dct_t — (n_filt, n_filt) transposed DCT-II
     """
     p = ListenerParams(*params_key)
     n_fft, n_filt = p.n_fft, p.n_filt
     n2 = n_fft // LANES
-    n_bins = n_fft // 2 + 1
 
     ang1 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
     ct_cos = np.cos(ang1)
@@ -113,27 +123,32 @@ def _ct_matrices(params_key, feature_type: str):
 
     scale = np.float64(1.0 / np.sqrt(n_fft))
     b_idx = np.arange(LANES, dtype=np.float64)[:, None]
-    E = np.zeros((n2, 2, LANES, LANES), np.float32)
+    e2a = np.zeros((n2, LANES, LANES), np.float32)
+    e2b = np.zeros((n2, LANES, LANES), np.float32)
     for s in range(n2):
-        k = n2 * np.arange(LANES, dtype=np.float64)[None, :] + s
+        k = n2 * np.arange(CT_J, dtype=np.float64)[None, :] + s
         ang2 = 2.0 * np.pi * b_idx * k / n_fft
-        E[s, 0] = scale * np.cos(ang2)
-        E[s, 1] = -scale * np.sin(ang2)
+        er = scale * np.cos(ang2)
+        ei = -scale * np.sin(ang2)
+        e2a[s, :, :CT_J], e2a[s, :, CT_J:] = er, ei
+        e2b[s, :, :CT_J], e2b[s, :, CT_J:] = -ei, er
 
     if feature_type == "mfcc":
         filt = mel_matrix(p.sample_rate, p.n_filt, p.n_fft_bins)
     else:
         filt = bark_matrix(p.sample_rate, p.n_filt, p.n_fft)
-    filt_e = np.zeros((n_fft, _round_up(n_filt + 1, LANES)), np.float32)
+    width = _round_up(n_filt + 1, LANES)
+    filt_half = np.zeros((n2 * CT_J, width), np.float32)
     for s in range(n2):
-        for j in range(LANES):
+        for j in range(CT_J):
             k = n2 * j + s
-            if k < n_bins:
-                kp = LANES * s + j
-                filt_e[kp, :n_filt] = filt[k]
-                filt_e[kp, n_filt] = 1.0
+            filt_half[s * CT_J + j, :n_filt] = filt[k]
+            filt_half[s * CT_J + j, n_filt] = 1.0
+    filt_nyq = np.zeros((1, width), np.float32)
+    filt_nyq[0, :n_filt] = filt[n_fft // 2]
+    filt_nyq[0, n_filt] = 1.0
     dct_t = numpy_ref.dct_matrix(n_filt).T.astype(np.float32)
-    return ct_cos, ct_sin, E, filt_e, dct_t
+    return ct_cos, ct_sin, e2a, e2b, filt_half, filt_nyq, dct_t
 
 
 def _coef_sum(planes, coefs, dtype):
@@ -319,18 +334,24 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
     Replaces the dense (W, bins) DFT matmul pair with:
       stage 1 (VPU): n2-point DFT across the lane-aligned planes
         frame[:, 128a:128a+128] — real input, so only s <= n2/2 needed
-        (T[n2-s] = conj(T[s])) and T_i[0] = T_i[n2/2] = 0;
-      stage 2 (MXU): per residue s, (M,128)@(128,128) matmuls against
-        E_s[b, j] = W^{(n2 j + s) b} — 4 per generic s, 2 for s in {0, n2/2}
-        (28 total at n2=8 vs dense ~2x(W=1024 @ 640): ~2.9x fewer MXU cycles).
+        (T[n2-s] = conj(T[s])) and T_i[0] = T_i[n2/2] = 0; n2 = 8 uses a
+        radix-2 butterfly (22 vector ops), other sizes generic sums;
+      stage 2 (MXU): only the physical half-spectrum, real+imag PACKED
+        into one 128-lane matmul per residue: [Xr|Xi] = T_r@[Er|Ei]
+        ± T_i@[-Ei|Er] — 14 (M,128)@(128,128) matmuls at n2=8 vs the
+        dense path's ~2x(1024 @ 640): ~5.7x fewer MXU cycles.  The
+        Nyquist bin is real and comes from T[0] as an alternating-sign
+        row sum.
 
-    The output bins land permuted (piece s, column j <-> physical bin
-    k = n2*j + s); the permutation is absorbed into the filterbank matrix,
-    which also carries a valid-bin indicator column so the energy term and
-    the mirror-bin mask ride the same matmul.  Numerics: identical math to
-    the dense path (same rfft), float32 accumulation.
+    The half-spectrum bins land permuted (piece s, column j <-> physical
+    bin k = n2*j + s); the permutation is absorbed into the filterbank
+    matrix, which also carries an energy-flag column so total energy rides
+    the same matmul.  Numerics: identical math to the dense path (same
+    rfft), float32 accumulation.
     """
-    ct_cos, ct_sin, E, filt_e, dct_t = _ct_matrices(_params_key(p), feature_type)
+    ct_cos, ct_sin, e2a, e2b, filt_half, filt_nyq, dct_t = _ct_matrices(
+        _params_key(p), feature_type
+    )
     n2 = p.n_fft // LANES
     half = n2 // 2
     window, hop = p.window_samples, p.hop_samples
@@ -339,7 +360,10 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
     n_mfcc, n_filt = p.n_mfcc, p.n_filt
     dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
 
-    def kernel(gain_ref, audio_ref, e_ref, filt_ref, dct_ref, out_ref):
+    nyq_scale = np.float32(1.0 / np.sqrt(p.n_fft))
+
+    def kernel(gain_ref, audio_ref, ea_ref, eb_ref, filt_ref, fnyq_ref,
+               dct_ref, out_ref):
         audio = audio_ref[:] * gain_ref[0, 0]  # (TB, S)
         # plane a = lane slice [128a, 128a+128) of every frame, frame-major
         # rows (M = T*TB) — 128-aligned static slices, never a transpose
@@ -371,22 +395,26 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         pieces = []
         for s in range(n2):
             sr = s if s <= half else n2 - s
-            er, ei = e_ref[s, 0], e_ref[s, 1]
             tr = t_re[sr]
             if sr in (0, half):  # purely real T row
-                xr, xi = mm(tr, er), mm(tr, ei)
+                xri = mm(tr, ea_ref[s])
             elif s <= half:
-                ti = t_im[sr]
-                xr = mm(tr, er) - mm(ti, ei)
-                xi = mm(tr, ei) + mm(ti, er)
+                xri = mm(tr, ea_ref[s]) + mm(t_im[sr], eb_ref[s])
             else:  # T[s] = conj(T[sr])
-                ti = t_im[sr]
-                xr = mm(tr, er) + mm(ti, ei)
-                xi = mm(tr, ei) - mm(ti, er)
-            pieces.append(xr * xr + xi * xi)
-        power = jnp.concatenate(pieces, axis=-1)  # (M, n_fft), /n_fft folded in E
+                xri = mm(tr, ea_ref[s]) - mm(t_im[sr], eb_ref[s])
+            sq = xri * xri
+            pieces.append(sq[:, :CT_J] + sq[:, CT_J:])  # |X|^2, (M, 64)
+        power = jnp.concatenate(pieces, axis=-1)  # (M, n_fft/2)
 
-        mels_e = jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
+        # Nyquist bin: X[n_fft/2] = sum_b (-1)^b T[0, b]  (real)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        alt = (1 - 2 * (iota % 2)).astype(jnp.float32) * nyq_scale
+        xnyq = jnp.sum(t_re[0].astype(jnp.float32) * alt, -1, keepdims=True)
+
+        mels_e = (
+            jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
+            + (xnyq * xnyq) * fnyq_ref[:]
+        )
         logs = jnp.log(jnp.clip(mels_e, LOG_EPS, None))
         coeffs = jnp.dot(logs[:, :n_filt], dct_ref[:],
                          preferred_element_type=jnp.float32)
@@ -395,12 +423,14 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         )
         out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
 
-    e_mat = jnp.asarray(E)
-    filt_mat = jnp.asarray(filt_e)
+    e2a_mat = jnp.asarray(e2a)
+    e2b_mat = jnp.asarray(e2b)
+    filt_mat = jnp.asarray(filt_half)
+    fnyq_mat = jnp.asarray(filt_nyq)
     dct_mat = jnp.asarray(dct_t)
 
-    # MXU work per tile: stage-2 matmuls + filterbank + DCT
-    n_mm = 2 * 2 + 4 * (n2 - 2)
+    # MXU work per tile: packed stage-2 matmuls + filterbank + DCT
+    n_mm = 2 * 1 + 2 * (n2 - 2)
     m_rows = n_frames * batch_tile
 
     def frontend(audio: jax.Array, gain=None) -> jax.Array:
@@ -412,7 +442,7 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         grid = (batch // batch_tile,)
         flops_tile = (
             2 * m_rows * LANES * LANES * n_mm
-            + 2 * m_rows * p.n_fft * (n_filt + 1)
+            + 2 * m_rows * (p.n_fft // 2) * (n_filt + 1)
             + 2 * m_rows * n_filt * n_filt
             + m_rows * LANES * 4 * n2 * n2  # stage-1 VPU upper bound
         )
@@ -426,9 +456,13 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                     (batch_tile, n_samples), lambda i: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(E.shape, lambda i: (0, 0, 0, 0),
+                pl.BlockSpec(e2a.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(filt_e.shape, lambda i: (0, 0),
+                pl.BlockSpec(e2b.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(filt_half.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(filt_nyq.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(dct_t.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -444,6 +478,6 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
-        )(gain, audio, e_mat, filt_mat, dct_mat)
+        )(gain, audio, e2a_mat, e2b_mat, filt_mat, fnyq_mat, dct_mat)
 
     return frontend
