@@ -106,3 +106,42 @@ def test_listen_dump_model_cli(artifacts):
         "--dump_model", "--output_model_file", out_file,
     )
     assert os.path.exists(out_file)
+
+
+def test_export_model_cli_onnx(artifacts):
+    out_file = str(artifacts["tmp"] / "model.onnx")
+    out = run_cli(
+        "tools/model_converter/export_model.py",
+        "--checkpoint", artifacts["ckpt"],
+        "--format", "onnx", "--output_path", out_file,
+    ).stdout
+    assert "Exported onnx" in out
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+
+    scores = OnnxModel(out_file).run(
+        {"feature_input": np.zeros((1, 30, 20, 1), np.float32)}
+    )["score_predict"]
+    np.testing.assert_allclose(scores.sum(), 1.0, rtol=1e-5)
+
+
+def test_export_model_cli_tflite_quantized(artifacts):
+    pytest.importorskip("tensorflow")
+    feats = np.random.default_rng(0).standard_normal((4, 30, 20)).astype(
+        np.float32
+    )
+    calib = str(artifacts["tmp"] / "calib.npy")
+    np.save(calib, feats)
+    out_file = str(artifacts["tmp"] / "model_int8.tflite")
+    out = run_cli(
+        "tools/model_converter/export_model.py",
+        "--checkpoint", artifacts["ckpt"],
+        "--format", "tflite", "--output_path", out_file,
+        "--quantize", "--calibration_features", calib,
+    ).stdout
+    assert "Exported tflite" in out
+    from tpu_speech_commands.export.inference_loader import load_inference_model
+
+    predict, fmt = load_inference_model(out_file)
+    assert fmt == "TFLITE"
+    scores = predict(feats)
+    np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-2)
