@@ -125,3 +125,25 @@ def test_gain_scales_audio(audio_batch):
             np.asarray(fe(a * 0.5)),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_int16_pcm_input_matches_float(audio_batch):
+    """Raw PCM16 input decodes as x/32768 (buffer_to_audio convention) in
+    both fused DFT modes and the XLA frontend."""
+    p = ListenerParams()
+    pcm = np.clip(audio_batch * 32768.0, -32768, 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    for mode in ("dense", "ct"):
+        fe = make_fused_frontend(p, batch_tile=4, interpret=True,
+                                 dft_mode=mode)
+        np.testing.assert_allclose(
+            np.asarray(fe(jnp.asarray(pcm))),
+            np.asarray(fe(jnp.asarray(as_float))),
+            rtol=1e-4, atol=1e-4,
+        )
+    xla_fe = Frontend(p)
+    np.testing.assert_allclose(
+        np.asarray(xla_fe(jnp.asarray(pcm))),
+        np.asarray(xla_fe(jnp.asarray(as_float))),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -156,8 +156,14 @@ class Frontend:
         return jnp.concatenate([energy, coeffs[..., 1:]], axis=-1)
 
     def __call__(self, audio: jax.Array) -> jax.Array:
-        """(..., S) float32 audio -> (..., T, feature_size) features."""
+        """(..., S) audio -> (..., T, feature_size) features.
+
+        Accepts float32 in [-1, 1] or raw int16 PCM (decoded as x/32768,
+        the buffer_to_audio convention — deployment feeds PCM16 directly,
+        halving host->device/HBM bytes)."""
         p = self.params
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         frames = frame_signal(audio, p.window_samples, p.hop_samples)
         feats = self.features_from_frames(frames)
         if p.use_delta:
