@@ -88,6 +88,36 @@ class WeightAverager:
 
         self._update = update
 
+    def scan_update(self, step, params, avg_state: AveragerState):
+        """Traceable per-step update for use INSIDE a jitted epoch scan
+        (observe() is its host-loop twin).  `step` is the post-update
+        optimizer step (a traced scalar).  Returns
+        (new_avg_state, new_params); new_params differs from params only
+        on lookahead sync steps (fast weights reset to slow).
+        """
+        avg, count = avg_state.avg_params, avg_state.count
+        tmap = jax.tree_util.tree_map
+        if self.average_type == "ema":
+            d = self.ema_decay
+            new_avg = tmap(lambda a, p: d * a + (1.0 - d) * p, avg, params)
+            return AveragerState(new_avg, count + 1), params
+        if self.average_type == "swa":
+            hit = jnp.logical_and(
+                step >= self.swa_start,
+                (step - self.swa_start) % self.swa_period == 0,
+            )
+            m = hit.astype(jnp.float32)
+            n = count.astype(jnp.float32)
+            new_avg = tmap(lambda a, p: a + m * (p - a) / (n + 1.0), avg, params)
+            return AveragerState(new_avg, count + hit.astype(jnp.int32)), params
+        # lookahead: slow <- slow + m*alpha*(fast-slow); fast <- slow on sync
+        hit = jnp.logical_and(step > 0, step % self.sync_period == 0)
+        m = hit.astype(jnp.float32)
+        alpha = self.slow_step_size
+        new_slow = tmap(lambda s, f: s + m * alpha * (f - s), avg, params)
+        new_fast = tmap(lambda f, s: f + m * (s - f), params, new_slow)
+        return AveragerState(new_slow, count + hit.astype(jnp.int32)), new_fast
+
     def observe(self, step: int, params):
         """Call after each optimizer step.  Returns replacement params for
         the train state (lookahead sync) or None."""

@@ -242,13 +242,14 @@ class Trainer:
         # per-batch loop caps at ~25 steps/s regardless of step cost.  With
         # the dataset device-resident, one dispatch runs the entire epoch
         # (shuffle -> scan(train step) -> summed metrics).
-        def train_epoch_fn(state, x_all, y_all, m_all, rng, perm_key):
+        def train_epoch_fn(state, x_all, y_all, m_all, rng, perm_key,
+                           avg_state=None):
             n_rows = x_all.shape[0]
             n_b = n_rows // config.batch_size
             perm = jax.random.permutation(perm_key, n_rows)
 
             def body(carry, i):
-                st, totals = carry
+                st, totals, avg = carry
                 rows = jax.lax.dynamic_slice_in_dim(
                     perm, i * config.batch_size, config.batch_size
                 )
@@ -259,13 +260,20 @@ class Trainer:
                     jnp.take(m_all, rows, axis=0),
                     rng,
                 )
-                return (st, jax.tree_util.tree_map(jnp.add, totals, metrics)), None
+                if avg is not None:  # EMA/SWA/lookahead ride the scan
+                    avg, new_params = self.averager.scan_update(
+                        st.step, st.params, avg
+                    )
+                    st = st.replace(params=new_params)
+                totals = jax.tree_util.tree_map(jnp.add, totals, metrics)
+                return (st, totals, avg), None
 
             zeros = {"loss": jnp.float32(0.0), "accuracy": jnp.float32(0.0)}
-            (state, totals), _ = jax.lax.scan(
-                body, (state, zeros), jnp.arange(n_b, dtype=jnp.int32)
+            (state, totals, avg_state), _ = jax.lax.scan(
+                body, (state, zeros, avg_state),
+                jnp.arange(n_b, dtype=jnp.int32),
             )
-            return state, totals
+            return state, totals, avg_state
 
         def eval_epoch_fn(state, x_all, y_all, m_all):
             n_b = x_all.shape[0] // config.batch_size
@@ -285,12 +293,28 @@ class Trainer:
             )
             return sums
 
+        def train_epoch_plain(state, x_all, y_all, m_all, rng, perm_key):
+            state, totals, _ = train_epoch_fn(state, x_all, y_all, m_all,
+                                              rng, perm_key, None)
+            return state, totals
+
         self._train_epoch = jax.jit(
-            train_epoch_fn,
+            train_epoch_plain,
             in_shardings=(st_shard, data, data, data, repl, repl),
             out_shardings=(st_shard, repl),
             donate_argnums=(0,),
         )
+        if self.averager is not None:
+            from .averaging import AveragerState
+
+            avg_shard = AveragerState(avg_params=st_shard.params, count=repl)
+            self._train_epoch_avg = jax.jit(
+                train_epoch_fn,
+                in_shardings=(st_shard, data, data, data, repl, repl,
+                              avg_shard),
+                out_shardings=(st_shard, repl, avg_shard),
+                donate_argnums=(0, 6),
+            )
         self._eval_epoch = jax.jit(
             eval_epoch_fn,
             in_shardings=(st_shard, data, data, data),
@@ -320,8 +344,6 @@ class Trainer:
     scan_staging_limit_bytes: int = 2 << 30
 
     def _use_scan(self, ds: Dataset) -> bool:
-        if self.averager is not None:
-            return False
         return ds.x.nbytes + ds.y.nbytes <= self.scan_staging_limit_bytes
 
     def _stage_dataset(self, ds: Dataset):
@@ -359,9 +381,17 @@ class Trainer:
         if self._use_scan(ds):
             x_all, y_all, m_all, n_b = self._stage_dataset(ds)
             perm_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), epoch)
-            self.state, totals = self._train_epoch(
-                self.state, x_all, y_all, m_all, rng, perm_key
-            )
+            if self.averager is not None:
+                self.state, totals, self.averager.state = (
+                    self._train_epoch_avg(
+                        self.state, x_all, y_all, m_all, rng, perm_key,
+                        self.averager.state,
+                    )
+                )
+            else:
+                self.state, totals = self._train_epoch(
+                    self.state, x_all, y_all, m_all, rng, perm_key
+                )
             self._host_step += n_b
             host = jax.device_get(totals)
             return {k: float(v) / n_b for k, v in host.items()}
