@@ -34,6 +34,26 @@ def make_confusion_eval_step(model, num_classes: int, has_batch_stats: bool):
     return eval_step
 
 
+def make_confusion_eval_scan(model, num_classes: int, has_batch_stats: bool):
+    """Whole-set variant: (variables, x[Nb,B,...], y[Nb,B], mask[Nb,B]) ->
+    (correct_sum, count, confusion) in ONE dispatch.  On the tunneled axon
+    platform a per-batch loop is round-trip-bound (~25 batches/s); the
+    scan runs the entire eval set per call."""
+    step = make_confusion_eval_step(model, num_classes, has_batch_stats)
+
+    def eval_scan(variables, x, y, mask):
+        def body(acc, batch):
+            correct, count, conf = step(variables, *batch)
+            return (acc[0] + correct, acc[1] + count, acc[2] + conf), None
+
+        init = (jnp.float32(0.0), jnp.float32(0.0),
+                jnp.zeros((num_classes, num_classes), jnp.float32))
+        (correct, count, conf), _ = jax.lax.scan(body, init, (x, y, mask))
+        return correct, count, conf
+
+    return eval_scan
+
+
 def evaluate_accuracy(
     model,
     variables,
@@ -53,25 +73,43 @@ def evaluate_accuracy(
     has_bs = "batch_stats" in variables
     data = batch_sharding(mesh)
     repl = replicated(mesh)
-    step = jax.jit(
-        make_confusion_eval_step(model, num_classes, has_bs),
-        in_shardings=(repl, data, data, data),
-        out_shardings=repl,
-    )
     variables = jax.device_put(variables, repl)
 
     t0 = time.time()
-    total_correct, total_count = 0.0, 0.0
-    confusion = np.zeros((num_classes, num_classes), np.float64)
-    put = partial(jax.device_put, device=data)
-    for x, y, valid in batch_iterator(ds, batch_size, shuffle=False):
-        xb = put(features_to_input(jnp.asarray(x), model_type))
-        yb = put(jnp.asarray(y))
-        mb = put((np.arange(len(y)) < valid).astype(np.float32))
-        correct, count, conf = step(variables, xb, yb, mb)
-        total_correct += float(correct)
-        total_count += float(count)
-        confusion += np.asarray(conf)
+    # stage the whole set once, batch-reshape on the host, ONE device
+    # dispatch for the full pass (per-batch dispatches are RTT-bound on
+    # the tunneled platform)
+    n = len(ds)
+    b = batch_size
+    n_pad = max(1, -(-n // b)) * b
+    x_np = np.asarray(ds.x, np.float32)
+    if x_np.ndim == 3 and model_type in ("simple_cnn", "simple_cnn_lite"):
+        x_np = x_np[..., None]
+    x_all = np.zeros((n_pad,) + x_np.shape[1:], np.float32)
+    x_all[:n] = x_np
+    y_all = np.zeros(n_pad, np.int32)
+    y_all[:n] = np.asarray(ds.y, np.int32)
+    m_all = np.zeros(n_pad, np.float32)
+    m_all[:n] = 1.0
+    n_b = n_pad // b
+    scan_data = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+    put = partial(jax.device_put, device=scan_data)
+    eval_scan = jax.jit(
+        make_confusion_eval_scan(model, num_classes, has_bs),
+        in_shardings=(repl, scan_data, scan_data, scan_data),
+        out_shardings=repl,
+    )
+    correct, count, conf = eval_scan(
+        variables,
+        put(x_all.reshape((n_b, b) + x_all.shape[1:])),
+        put(y_all.reshape(n_b, b)),
+        put(m_all.reshape(n_b, b)),
+    )
+    total_correct = float(correct)
+    total_count = float(count)
+    confusion = np.asarray(conf, np.float64)
     dt = time.time() - t0
 
     accuracy = total_correct / max(total_count, 1.0)
