@@ -145,3 +145,27 @@ def test_export_model_cli_tflite_quantized(artifacts):
     assert fmt == "TFLITE"
     scores = predict(feats)
     np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-2)
+
+
+def test_stream_server_demo(artifacts):
+    """Multi-stream serving demo: staggered joins, slot reuse, clean exit."""
+    from tpu_speech_commands.data.synthetic import synth_command_audio
+    from tpu_speech_commands.data.wav import save_audio
+
+    rng = np.random.default_rng(2)
+    wavs = []
+    for i, cls in enumerate(["left", "right", "left"]):
+        p = str(artifacts["tmp"] / f"srv_{i}.wav")
+        save_audio(p, synth_command_audio(cls, rng))
+        wavs.append(p)
+
+    out = run_cli(
+        "tools/serving/stream_server.py",
+        "--model_path", artifacts["ckpt"],
+        "--classes_path", artifacts["classes"],
+        "--wavs", *wavs, "--slots", "2", "--stagger", "2",
+    ).stdout
+    assert "served 3 streams" in out
+    assert out.count("finished") == 3
+    # the third stream must have reused a freed slot
+    assert "slot 0 <- srv_2.wav" in out or "slot 1 <- srv_2.wav" in out
