@@ -56,8 +56,23 @@ def main(args):
         noise_bank = train_ds.x[train_ds.y == 0]
         if len(noise_bank) == 0:
             noise_bank = np.zeros((1, pr.max_samples), np.float32)
+        # on TPU the fused Pallas CT frontend replaces the XLA GEMM chain
+        # inside the train step (no VJP needed: gradients flow only into
+        # the model, the frontend is constant w.r.t. params)
+        pipeline_frontend = frontend
+        import jax as _jax
+
+        from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
+
+        if (_jax.default_backend() == "tpu" and _ct_eligible(pr)
+                and args.batch_size % 16 == 0):
+            from tpu_speech_commands.ops import make_fused_frontend
+
+            pipeline_frontend = make_fused_frontend(
+                pr, feature_type=args.feature_type, batch_tile=16
+            )
         device_pipeline = make_audio_pipeline(
-            frontend, args.model_type, noise_bank
+            pipeline_frontend, args.model_type, noise_bank
         )
     elif args.val_data_path:
         train_ds = get_dataset(args.train_data_path, class_names, frontend=frontend)
