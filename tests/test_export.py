@@ -191,3 +191,31 @@ def test_tflite_full_int8_quantize_with_representative_data(tmp_path):
     facc = (fs.argmax(-1) == holdout_y).mean()
     qacc = (qs.argmax(-1) == holdout_y).mean()
     assert qacc >= facc - 0.05, (facc, qacc)
+
+
+def test_onnx_mini_runtime_rejects_garbage(tmp_path):
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+
+    bad = tmp_path / "bad.onnx"
+    bad.write_bytes(b"not a protobuf at all \x00\x01\x02")
+    with pytest.raises((ValueError, IndexError)):
+        OnnxModel(str(bad))
+
+
+def test_onnx_mini_runtime_rejects_unknown_op(tmp_path):
+    """The executor is a strict verification oracle: an op it does not
+    implement must raise, never silently skip."""
+    from tpu_speech_commands.export import onnx_writer as w
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+
+    node = w.node_proto("TotallyMadeUpOp", ["feature_input"], ["out"])
+    graph = w.graph_proto(
+        [node], "g", [],
+        [w.value_info("feature_input", (None, 4))],
+        [w.value_info("out", (None, 4))],
+    )
+    path = tmp_path / "weird.onnx"
+    path.write_bytes(w.model_proto(graph))
+    m = OnnxModel(str(path))
+    with pytest.raises(NotImplementedError):
+        m.run({"feature_input": np.zeros((1, 4), np.float32)})
