@@ -121,3 +121,39 @@ def test_eval_step_matches_1x1_vs_4x2():
     assert abs(a["loss_sum"] - b["loss_sum"]) < 1e-4, (a, b)
     assert a["correct"] == b["correct"], (a, b)
     assert a["count"] == b["count"], (a, b)
+
+
+def test_trainer_epoch_scan_matches_across_meshes(tmp_path):
+    """The whole-epoch jitted scan (device-side shuffle + train steps +
+    metric sums) must be numerically identical on a 1x1 and a 4x2
+    ('data','model') mesh."""
+    from tpu_speech_commands.data.dataset import Dataset
+    from tpu_speech_commands.training import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((64, 30, 20)).astype(np.float32)
+    y = rng.integers(0, 5, 64).astype(np.int32)
+    ds = Dataset(x, y)
+
+    results = {}
+    for n_data, n_model in ((1, 1), (4, 2)):
+        tx = get_optimizer("sgd", 1e-2, decay_type=None)
+        model, state = create_train_state("simple_cnn", 5, tx,
+                                          jax.random.PRNGKey(0))
+        cfg = TrainerConfig(batch_size=16, epochs=1,
+                            log_dir=str(tmp_path / f"l{n_data}x{n_model}"),
+                            log_tensorboard=False, seed=3)
+        trainer = Trainer(model, state, "simple_cnn", 5, cfg,
+                          mesh=make_mesh(n_data=n_data, n_model=n_model))
+        assert trainer._use_scan(ds)
+        metrics = trainer.run_epoch(ds, jax.random.PRNGKey(1), epoch=1)
+        flat = np.concatenate([
+            np.ravel(np.asarray(p))
+            for p in jax.tree_util.tree_leaves(trainer.state.params)
+        ])
+        results[(n_data, n_model)] = (metrics, flat)
+
+    m1, p1 = results[(1, 1)]
+    m2, p2 = results[(4, 2)]
+    assert abs(m1["loss"] - m2["loss"]) < 1e-5, (m1, m2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
