@@ -152,3 +152,30 @@ def test_eval_confusion_matrix(tmp_path):
     assert conf.shape == (3, 3)
     assert conf.sum() == len(ds)
     assert os.path.exists(tmp_path / "confusion_matrix.png")
+
+
+def test_fit_is_deterministic_for_fixed_seed(tmp_path):
+    """Two fits with identical seeds/data produce identical histories and
+    final params (device-side shuffle + dropout are PRNG-keyed)."""
+    def run(tag):
+        train_ds = toy_dataset(seed=0)
+        val_ds = toy_dataset(n_per_class=8, seed=1)
+        tx = get_optimizer("adam", 3e-3, decay_type=None)
+        model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                          jax.random.PRNGKey(0))
+        cfg = TrainerConfig(batch_size=16, epochs=3,
+                            log_dir=str(tmp_path / tag),
+                            log_tensorboard=False, seed=11)
+        trainer = Trainer(model, state, "simple_cnn_lite", len(CLASSES), cfg)
+        history = trainer.fit(train_ds, val_ds, verbose=False)
+        flat = np.concatenate([
+            np.ravel(np.asarray(p))
+            for p in jax.tree_util.tree_leaves(trainer.state.params)
+        ])
+        return history, flat
+
+    h1, p1 = run("a")
+    h2, p2 = run("b")
+    assert [(e.loss, e.val_accuracy) for e in h1] == \
+           [(e.loss, e.val_accuracy) for e in h2]
+    np.testing.assert_array_equal(p1, p2)
