@@ -15,9 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import Dataset, batch_iterator
-from ..models import features_to_input
-from ..parallel import batch_sharding, make_mesh, replicated
+from ..data.dataset import Dataset
+from ..parallel import make_mesh, replicated
 
 
 def make_confusion_eval_step(model, num_classes: int, has_batch_stats: bool):
@@ -71,7 +70,6 @@ def evaluate_accuracy(
     mesh = mesh if mesh is not None else make_mesh()
     num_classes = len(class_names)
     has_bs = "batch_stats" in variables
-    data = batch_sharding(mesh)
     repl = replicated(mesh)
     variables = jax.device_put(variables, repl)
 
