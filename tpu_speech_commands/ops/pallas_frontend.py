@@ -376,20 +376,40 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
 
     nyq_scale = np.float32(1.0 / np.sqrt(p.n_fft))
 
+    # 50%-overlap framing (hop == n_fft/2): plane a+n2/2 of frame t IS
+    # plane a of frame t+1, so n2/2 overlapping "cell streams" cover all
+    # n2 planes with half the copies (the shifted twin is a row slice)
+    overlap = 2 * hop == p.n_fft and (n_frames + 1) * hop <= n_samples
+
     def kernel(gain_ref, audio_ref, ea_ref, eb_ref, filt_ref, fnyq_ref,
                dct_ref, out_ref):
         audio = _decode_audio(audio_ref, gain_ref)  # (TB, S)
         # plane a = lane slice [128a, 128a+128) of every frame, frame-major
         # rows (M = T*TB) — 128-aligned static slices, never a transpose
-        planes = [
-            jnp.concatenate(
-                [
-                    audio[:, t * hop + a * LANES : t * hop + (a + 1) * LANES]
-                    for t in range(n_frames)
-                ]
-            ).astype(dft_dtype)
-            for a in range(n2)
-        ]
+        if overlap:
+            cells = [
+                jnp.concatenate(
+                    [
+                        audio[:, t * hop + c * LANES : t * hop + (c + 1) * LANES]
+                        for t in range(n_frames + 1)
+                    ]
+                ).astype(dft_dtype)
+                for c in range(half)
+            ]  # ((T+1)*TB, 128) each
+            m_rows_ = n_frames * batch_tile
+            planes = [cells[a][:m_rows_] for a in range(half)] + [
+                cells[a][batch_tile : m_rows_ + batch_tile] for a in range(half)
+            ]
+        else:
+            planes = [
+                jnp.concatenate(
+                    [
+                        audio[:, t * hop + a * LANES : t * hop + (a + 1) * LANES]
+                        for t in range(n_frames)
+                    ]
+                ).astype(dft_dtype)
+                for a in range(n2)
+            ]
         if n2 == 8:
             t_re, t_im = _dft8_real(planes, dft_dtype)
         else:
