@@ -160,6 +160,8 @@ class OnnxModel:
 
     @staticmethod
     def _conv(x, w, b, attrs):
+        if attrs.get("dilations", [1, 1]) != [1, 1]:
+            raise NotImplementedError(f"Conv dilations {attrs['dilations']}")
         stride = attrs.get("strides", [1, 1])
         group = attrs.get("group", 1)
         kh, kw = w.shape[2], w.shape[3]
@@ -234,6 +236,12 @@ class OnnxModel:
             elif op == "Flatten":
                 r = a[0].reshape(a[0].shape[0], -1)
             elif op == "Gemm":
+                # strict oracle: reject attribute values we would silently
+                # miscompute (we never emit them)
+                if (attrs.get("transA", 0) or attrs.get("transB", 0)
+                        or attrs.get("alpha", 1.0) != 1.0
+                        or attrs.get("beta", 1.0) != 1.0):
+                    raise NotImplementedError(f"Gemm attrs {attrs}")
                 r = a[0] @ a[1] + (a[2] if len(a) > 2 else 0.0)
             elif op == "Softmax":
                 z = a[0] - a[0].max(axis=attrs.get("axis", -1), keepdims=True)

@@ -69,8 +69,12 @@ def reset_streams(state, mask):
 
     Jit-compatible: use when a serving slot is vacated or re-assigned so a
     new caller never sees the previous stream's audio. Returns a new state.
+    Requires batched state (init_stream_state(n_streams=...)).
     """
     mask = jnp.asarray(mask, bool)
+    assert state["fill"].ndim == 1 and mask.ndim == 1, (
+        "reset_streams needs a batched stream state (per-stream fill)"
+    )
     return {
         "audio": jnp.where(mask[:, None], 0.0, state["audio"]),
         "fill": jnp.where(mask, 0, state["fill"]),

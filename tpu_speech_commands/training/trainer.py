@@ -348,10 +348,12 @@ class Trainer:
 
     def _stage_dataset(self, ds: Dataset):
         """Pad ds to a batch multiple and place it on device ONCE (cached);
-        returns (x_all, y_all, mask_all, n_batches)."""
+        returns (x_all, y_all, mask_all, n_batches).  The cache holds a
+        reference to ds.x and validates identity — an id() key alone could
+        collide when a freed Dataset's id is reused."""
         key = id(ds)
         cached = self._device_datasets.get(key)
-        if cached is not None and cached[0] == len(ds):
+        if cached is not None and cached[0] is ds.x:
             return cached[1]
         b = self.config.batch_size
         n = len(ds)
@@ -367,7 +369,7 @@ class Trainer:
         m_all[:n] = 1.0
         put = partial(jax.device_put, device=self._data_sharding)
         staged = (put(x_all), put(y_all), put(m_all), n_pad // b)
-        self._device_datasets[key] = (n, staged)
+        self._device_datasets[key] = (ds.x, staged)
         return staged
 
     # -- epoch loops ---------------------------------------------------------
