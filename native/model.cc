@@ -1,5 +1,7 @@
 #include "model.h"
 
+#include "parallel.h"
+
 #include <cassert>
 #include <cmath>
 #include <cstring>
@@ -101,27 +103,30 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
   pad_amounts(H, kh, stride, &Ho, &ph);
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * Cout, 0.0f);
-  for (int oy = 0; oy < Ho; ++oy) {
-    for (int ox = 0; ox < Wo; ++ox) {
-      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * Cout];
-      for (int ky = 0; ky < kh; ++ky) {
-        const int iy = oy * stride + ky - ph;
-        if (iy < 0 || iy >= H) continue;
-        for (int kx = 0; kx < kw; ++kx) {
-          const int ix = ox * stride + kx - pw;
-          if (ix < 0 || ix >= W) continue;
-          const float* src = &in[(static_cast<size_t>(iy) * W + ix) * Cin];
-          const float* wrow =
-              &kernel.data[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
-          for (int ci = 0; ci < Cin; ++ci)
-            for (int co = 0; co < Cout; ++co)
-              dst[co] += src[ci] * wrow[ci * Cout + co];
+  const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
+  parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
+    for (int oy = oy_begin; oy < oy_end; ++oy) {
+      for (int ox = 0; ox < Wo_v; ++ox) {
+        float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * Cout];
+        for (int ky = 0; ky < kh; ++ky) {
+          const int iy = oy * stride + ky - ph_v;
+          if (iy < 0 || iy >= H) continue;
+          for (int kx = 0; kx < kw; ++kx) {
+            const int ix = ox * stride + kx - pw_v;
+            if (ix < 0 || ix >= W) continue;
+            const float* src = &in[(static_cast<size_t>(iy) * W + ix) * Cin];
+            const float* wrow =
+                &kernel.data[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
+            for (int ci = 0; ci < Cin; ++ci)
+              for (int co = 0; co < Cout; ++co)
+                dst[co] += src[ci] * wrow[ci * Cout + co];
+          }
         }
+        if (bias)
+          for (int co = 0; co < Cout; ++co) dst[co] += bias[co];
       }
-      if (bias)
-        for (int co = 0; co < Cout; ++co) dst[co] += bias[co];
     }
-  }
+  });
 }
 
 void depthwise_same(const std::vector<float>& in, int H, int W, int C,
@@ -133,22 +138,25 @@ void depthwise_same(const std::vector<float>& in, int H, int W, int C,
   pad_amounts(H, kh, stride, &Ho, &ph);
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
-  for (int oy = 0; oy < Ho; ++oy) {
-    for (int ox = 0; ox < Wo; ++ox) {
-      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * C];
-      for (int ky = 0; ky < kh; ++ky) {
-        const int iy = oy * stride + ky - ph;
-        if (iy < 0 || iy >= H) continue;
-        for (int kx = 0; kx < kw; ++kx) {
-          const int ix = ox * stride + kx - pw;
-          if (ix < 0 || ix >= W) continue;
-          const float* src = &in[(static_cast<size_t>(iy) * W + ix) * C];
-          const float* wrow = &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
-          for (int c = 0; c < C; ++c) dst[c] += src[c] * wrow[c];
+  const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
+  parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
+    for (int oy = oy_begin; oy < oy_end; ++oy) {
+      for (int ox = 0; ox < Wo_v; ++ox) {
+        float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * C];
+        for (int ky = 0; ky < kh; ++ky) {
+          const int iy = oy * stride + ky - ph_v;
+          if (iy < 0 || iy >= H) continue;
+          for (int kx = 0; kx < kw; ++kx) {
+            const int ix = ox * stride + kx - pw_v;
+            if (ix < 0 || ix >= W) continue;
+            const float* src = &in[(static_cast<size_t>(iy) * W + ix) * C];
+            const float* wrow = &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
+            for (int c = 0; c < C; ++c) dst[c] += src[c] * wrow[c];
+          }
         }
       }
     }
-  }
+  });
 }
 
 void relu6(std::vector<float>& x) {

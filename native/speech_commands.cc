@@ -15,6 +15,7 @@
 
 #include "dsp.h"
 #include "model.h"
+#include "parallel.h"
 #include "wav.h"
 
 using Clock = std::chrono::steady_clock;
@@ -25,7 +26,7 @@ static double ms_since(Clock::time_point t0) {
 
 int main(int argc, char** argv) {
   std::string model_path, wav_path;
-  int top_k = 3, warmup = 1, loop_count = 1;
+  int top_k = 3, warmup = 1, loop_count = 1, threads = 1;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&](const char* flag) -> std::string {
@@ -39,10 +40,11 @@ int main(int argc, char** argv) {
     else if (a == "--wav") wav_path = next("--wav");
     else if (a == "--top_k") top_k = std::atoi(next("--top_k").c_str());
     else if (a == "--loop_count") loop_count = std::atoi(next("--loop_count").c_str());
+    else if (a == "--threads") threads = std::atoi(next("--threads").c_str());
     else {
       std::fprintf(stderr,
                    "usage: %s --model model.tscm --wav audio.wav "
-                   "[--top_k N] [--loop_count N]\n",
+                   "[--top_k N] [--loop_count N] [--threads N]\n",
                    argv[0]);
       return 2;
     }
@@ -52,6 +54,7 @@ int main(int argc, char** argv) {
     return 2;
   }
 
+  tsc::set_num_threads(threads);
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
   tsc::WavData wav = tsc::read_wav(wav_path);
   if (wav.sample_rate != model.sample_rate) {

@@ -16,6 +16,7 @@
 
 #include "dsp.h"
 #include "model.h"
+#include "parallel.h"
 #include "postprocess.h"
 #include "wav.h"
 
@@ -35,7 +36,7 @@ static void print_bar(const std::string& class_name, double score,
 
 int main(int argc, char** argv) {
   std::string model_path, wav_path;
-  int chunk_size = 1024, trigger_level = 3;
+  int chunk_size = 1024, trigger_level = 3, threads = 1;
   double sensitivity = 0.5;
   bool realtime = false;
   for (int i = 1; i < argc; ++i) {
@@ -47,13 +48,14 @@ int main(int argc, char** argv) {
     if (a == "--model") model_path = next();
     else if (a == "--wav") wav_path = next();
     else if (a == "--chunk_size") chunk_size = std::atoi(next().c_str());
+    else if (a == "--threads") threads = std::atoi(next().c_str());
     else if (a == "--sensitivity") sensitivity = std::atof(next().c_str());
     else if (a == "--trigger_level") trigger_level = std::atoi(next().c_str());
     else if (a == "--realtime") realtime = true;
     else {
       std::fprintf(stderr,
                    "usage: %s --model m.tscm --wav a.wav [--chunk_size N] "
-                   "[--sensitivity S] [--trigger_level N] [--realtime]\n",
+                   "[--sensitivity S] [--trigger_level N] [--threads N] [--realtime]\n",
                    argv[0]);
       return 2;
     }
@@ -63,6 +65,7 @@ int main(int argc, char** argv) {
     return 2;
   }
 
+  tsc::set_num_threads(threads);
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
   tsc::WavData wav = tsc::read_wav(wav_path);
   if (wav.sample_rate != model.sample_rate) {

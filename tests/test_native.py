@@ -151,3 +151,36 @@ def test_alsa_app_compiles(build_native):
         "speech_commands_alsa.cc.o",
     )
     assert os.path.exists(linked) or os.path.exists(obj)
+
+
+def test_native_apps_threads_flag_identical_output(tmp_path, audio):
+    """--threads N must be numerically identical to single-threaded."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(3))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn_lite", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    outs = []
+    for extra in ([], ["--threads", "4"]):
+        r = subprocess.run(
+            [app, "--model", blob, "--wav", wav, "--top_k", "3", *extra],
+            capture_output=True, text=True, check=True,
+        )
+        outs.append([l for l in r.stdout.splitlines()
+                     if ":" in l and "time" not in l])
+    assert outs[0] and outs[0] == outs[1]
