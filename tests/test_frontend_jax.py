@@ -106,3 +106,37 @@ def test_alt_config_shapes():
     out = fe(audio)
     n_frames = 1 + (p.max_samples - p.window_samples) // p.hop_samples
     assert out.shape == (3, n_frames, 13)
+
+
+@pytest.mark.parametrize("params_kwargs", [
+    # window shorter than the transform (zero-padded tail)
+    dict(window_t=0.05, hop_t=0.025, n_fft=1024),
+    # non-power-of-two FFT (any-size rfft path)
+    dict(window_t=0.03, hop_t=0.015, n_fft=500),
+    # short buffer, more filters/coeffs, deltas
+    dict(buffer_t=0.5, n_filt=26, n_mfcc=13, use_delta=True),
+    # small transform
+    dict(window_t=0.016, hop_t=0.008, n_fft=256),
+])
+def test_frontend_matches_oracle_across_configs(params_kwargs, rng):
+    """Property sweep: the XLA frontend must track the float64 oracle for
+    arbitrary (valid) parameter combinations, not just the defaults."""
+    p = ListenerParams(**params_kwargs)
+    audio = rng.standard_normal((3, p.max_samples)).astype(np.float32)
+    for feature_type in ("mfcc", "bark"):
+        fe = Frontend(p, feature_type=feature_type)
+        got = np.asarray(fe(jnp.asarray(audio)))
+        expect = np.stack([
+            numpy_ref.vectorize_raw(a.astype(np.float64), params=p,
+                                    frontend=feature_type)
+            for a in audio
+        ])
+        if p.use_delta:
+            expect = np.stack([
+                numpy_ref.add_deltas(e) for e in expect
+            ])
+        assert got.shape == expect.shape, (got.shape, expect.shape)
+        np.testing.assert_allclose(
+            got, expect, rtol=1e-3, atol=1e-4,
+            err_msg=f"{feature_type} {params_kwargs}",
+        )
