@@ -184,3 +184,20 @@ def test_native_apps_threads_flag_identical_output(tmp_path, audio):
         outs.append([l for l in r.stdout.splitlines()
                      if ":" in l and "time" not in l])
     assert outs[0] and outs[0] == outs[1]
+
+
+def test_native_non_pow2_fft_matches_oracle(audio):
+    """n_fft=500 exercises the direct-DFT fallback (fft_radix2 would
+    silently corrupt non-power-of-two sizes)."""
+    from tpu_speech_commands.frontend import numpy_ref
+    from tpu_speech_commands.native_binding import NativeFrontend
+    from tpu_speech_commands.params import ListenerParams
+
+    p = ListenerParams(window_t=0.03, hop_t=0.015, n_fft=500)
+    fe = NativeFrontend(params=p)
+    got = fe(audio[: p.max_samples])
+    expect = numpy_ref.vectorize_raw(
+        audio[: p.max_samples].astype(np.float64), params=p
+    )
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)

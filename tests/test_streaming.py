@@ -278,3 +278,22 @@ def test_listener_wav_replay(tmp_path, capsys):
     out = capsys.readouterr().out
     # one confidence bar per full chunk
     assert out.count("\n") == len(audio) // 1024
+
+
+def test_stream_update_alt_config_matches_replica():
+    """The jit streamer must match the reference update at non-default
+    params (smaller transform, different hop) too."""
+    p = ListenerParams(window_t=0.016, hop_t=0.008, n_fft=256)
+    fe = Frontend(p)
+    update = jax.jit(make_stream_update(fe, 512))
+    state = init_stream_state(p)
+    replica = NumpyStreamReplica(p)
+    rng = np.random.default_rng(13)
+    for c in range(6):
+        chunk = rng.standard_normal(512).astype(np.float32)
+        state, feats = update(state, jnp.asarray(chunk))
+        expect = replica.update(chunk.astype(np.float64))
+        np.testing.assert_allclose(
+            np.asarray(feats), expect, rtol=1e-3, atol=2e-3,
+            err_msg=f"chunk {c}",
+        )
