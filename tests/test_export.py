@@ -219,3 +219,48 @@ def test_onnx_mini_runtime_rejects_unknown_op(tmp_path):
     m = OnnxModel(str(path))
     with pytest.raises(NotImplementedError):
         m.run({"feature_input": np.zeros((1, 4), np.float32)})
+
+
+def test_onnx_export_with_deltas_and_alt_params(tmp_path):
+    """ONNX export/execute parity when use_delta doubles the feature width
+    (the emitter must derive every shape from the weights + meta)."""
+    from tpu_speech_commands.models import features_to_input, score_fn
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+    from tpu_speech_commands.export.saved_model import export_onnx
+    from tpu_speech_commands.params import ListenerParams
+
+    p = ListenerParams(use_delta=True)  # feature_size 40
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    from tpu_speech_commands.models import init_model
+
+    model, variables = init_model("simple_cnn", len(CLASSES),
+                                  jax.random.PRNGKey(5), params=p)
+    from tpu_speech_commands.training import TrainState
+
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
+    ckpt = str(tmp_path / "d.npz")
+    from tpu_speech_commands.training import save_checkpoint
+
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn", "num_classes": len(CLASSES),
+        "classes": CLASSES, "n_features": p.n_features,
+        "feature_size": p.feature_size,
+    })
+    onnx_path = str(tmp_path / "d.onnx")
+    export_onnx(ckpt, onnx_path)
+
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((2, p.n_features, p.feature_size)).astype(
+        np.float32
+    )
+    want = np.asarray(score_fn(model.apply(
+        variables, features_to_input(jax.numpy.asarray(feats), "simple_cnn"),
+        train=False,
+    )))
+    got = OnnxModel(onnx_path).run(
+        {"feature_input": feats[..., None]}
+    )["score_predict"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

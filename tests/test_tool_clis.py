@@ -169,3 +169,24 @@ def test_stream_server_demo(artifacts):
     assert out.count("finished") == 3
     # the third stream must have reused a freed slot
     assert "slot 0 <- srv_2.wav" in out or "slot 1 <- srv_2.wav" in out
+
+
+def test_eval_cli_with_onnx_model(artifacts):
+    """eval.py accepts an .onnx model (reference 5-format eval matrix)."""
+    from tpu_speech_commands.data.synthetic import make_synthetic_dataset
+    from tpu_speech_commands.export.saved_model import export_onnx
+
+    ds_root = str(artifacts["tmp"] / "eval_ds")
+    if not os.path.isdir(ds_root):
+        make_synthetic_dataset(ds_root, CLASSES, samples_per_class=4, seed=6)
+    onnx_path = str(artifacts["tmp"] / "eval_model.onnx")
+    export_onnx(artifacts["ckpt"], onnx_path)
+    out = run_cli(
+        "eval.py",
+        "--model_path", onnx_path,
+        "--dataset_path", ds_root,
+        "--classes_path", artifacts["classes"],
+        "--output_path", str(artifacts["tmp"] / "eval_out"),
+    ).stdout
+    assert "ONNX" in out
+    assert "accuracy" in out
