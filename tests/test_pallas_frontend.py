@@ -147,3 +147,30 @@ def test_int16_pcm_input_matches_float(audio_batch):
         np.asarray(xla_fe(jnp.asarray(as_float))),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_frontend_under_shard_map():
+    """Pallas custom calls are not auto-partitionable; the multi-chip
+    recipe wraps the kernel in shard_map over the batch axis. Verified on
+    the virtual 8-device mesh (interpret mode): sharded == unsharded."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_speech_commands.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    p = ListenerParams()
+    mesh = make_mesh(n_data=8)
+    fused = make_fused_frontend(p, batch_tile=4, interpret=True)
+    sharded = jax.jit(shard_map(
+        fused, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        check_rep=False,
+    ))
+    rng = np.random.default_rng(8)
+    audio = jnp.asarray(rng.standard_normal((32, 16000)).astype(np.float32))
+    got = np.asarray(sharded(jax.device_put(
+        audio, NamedSharding(mesh, P("data"))
+    )))
+    want = np.asarray(fused(audio))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -55,6 +55,16 @@ def main():
         make_fused_frontend(pr, batch_tile=16) if (args.use_pallas and on_tpu)
         else Frontend(pr)
     )
+    if args.use_pallas and on_tpu and n_dev > 1:
+        # a Pallas custom call is not auto-partitionable: shard_map runs
+        # the kernel per-device on its batch shard (collective-free)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        frontend = shard_map(
+            frontend, mesh=mesh, in_specs=_P("data"), out_specs=_P("data"),
+            check_rep=False,
+        )
     model, variables = init_model(args.model_type, 5, jax.random.PRNGKey(0))
 
     def forward(variables, audio):
