@@ -56,16 +56,18 @@ def main(args):
         noise_bank = train_ds.x[train_ds.y == 0]
         if len(noise_bank) == 0:
             noise_bank = np.zeros((1, pr.max_samples), np.float32)
-        # on TPU the fused Pallas CT frontend replaces the XLA GEMM chain
-        # inside the train step (no VJP needed: gradients flow only into
-        # the model, the frontend is constant w.r.t. params)
+        # on single-chip TPU the fused Pallas CT frontend replaces the XLA
+        # GEMM chain inside the train step (no VJP needed: gradients flow
+        # only into the model, the frontend is constant w.r.t. params).
+        # Multi-chip sticks with the XLA frontend — a Pallas custom call
+        # does not auto-partition across a sharded batch.
         pipeline_frontend = frontend
         import jax as _jax
 
         from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
 
-        if (_jax.default_backend() == "tpu" and _ct_eligible(pr)
-                and args.batch_size % 16 == 0):
+        if (_jax.default_backend() == "tpu" and len(_jax.devices()) == 1
+                and _ct_eligible(pr) and args.batch_size % 16 == 0):
             from tpu_speech_commands.ops import make_fused_frontend
 
             pipeline_frontend = make_fused_frontend(
