@@ -264,3 +264,21 @@ def test_onnx_export_with_deltas_and_alt_params(tmp_path):
         {"feature_input": feats[..., None]}
     )["score_predict"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tscm_blob_loads_in_python(tmp_path):
+    """eval.py/listen.py can run the exact .tscm artifact that ships to
+    devices (C++ runtime via ctypes) — scores match the JAX forward."""
+    from tpu_speech_commands.export.native_format import export_native
+
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn_lite")
+    native_jax, _ = load_inference_model(ckpt)
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+    predict, fmt = load_inference_model(blob)
+    assert fmt == "TSCM"
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((3, 30, 20)).astype(np.float32)
+    scores = predict(feats)
+    np.testing.assert_allclose(scores.sum(-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(scores, native_jax(feats), rtol=1e-3, atol=1e-4)

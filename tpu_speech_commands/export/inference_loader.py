@@ -5,6 +5,7 @@ Dispatch on file suffix, returning ``(predict_fn, model_format)`` where
 batch to (B, num_classes) softmax scores:
 
 - ``.npz``          native checkpoint -> jitted JAX forward (TPU path)
+- ``.tscm``         on-device deployment blob -> C++ runtime via ctypes
 - ``.tflite``       TFLite flat buffer -> tf.lite.Interpreter
 - ``.h5``/``.keras``  Keras model (reference-trained artifacts load directly)
 - SavedModel dir    TF serving signature
@@ -179,6 +180,11 @@ def load_inference_model(model_path: str):
         return load_keras(model_path), "H5"
     if os.path.isdir(model_path):
         return load_saved_model(model_path), "SAVED_MODEL"
+    if model_path.endswith(".tscm"):
+        # the on-device deployment blob, executed by the C++ runtime via
+        # ctypes — lets eval.py/listen.py verify the exact artifact that
+        # ships (requires native/build/libtsc.so; build with cmake+ninja)
+        return _load_tscm(model_path), "TSCM"
     if model_path.endswith(".onnx"):
         try:
             import onnxruntime  # noqa: F401
@@ -192,6 +198,18 @@ def load_inference_model(model_path: str):
             "native/ or the .npz/.tflite paths"
         )
     raise ValueError(f"invalid model file: {model_path}")
+
+
+def _load_tscm(model_path: str):
+    from ..native_binding import NativeModel
+
+    native = NativeModel(model_path)
+
+    def predict(features):
+        feats = _adapt_rank(features, 3)  # (B, n_features, width)
+        return np.stack([native.predict(f) for f in feats])
+
+    return predict
 
 
 def _load_onnx_mini(model_path: str):
