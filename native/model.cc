@@ -24,7 +24,8 @@ NativeModel NativeModel::load(const std::string& path) {
   uint32_t version = 0, meta_len = 0;
   f.read(reinterpret_cast<char*>(&version), 4);
   f.read(reinterpret_cast<char*>(&meta_len), 4);
-  if (version != 1) throw std::runtime_error("unsupported model version");
+  if (version != 1 && version != 2)
+    throw std::runtime_error("unsupported model version");
 
   NativeModel m;
   m.meta_json.resize(meta_len);
@@ -41,8 +42,24 @@ NativeModel NativeModel::load(const std::string& path) {
     Tensor t;
     t.shape.resize(ndim);
     f.read(reinterpret_cast<char*>(t.shape.data()), 4 * ndim);
-    t.data.resize(t.size());
-    f.read(reinterpret_cast<char*>(t.data.data()), 4 * t.size());
+    uint8_t dtype = 0;  // v1 records are implicitly float32
+    if (version >= 2) f.read(reinterpret_cast<char*>(&dtype), 1);
+    if (dtype == 0) {
+      t.data.resize(t.size());
+      f.read(reinterpret_cast<char*>(t.data.data()), 4 * t.size());
+    } else if (dtype == 1) {  // symmetric per-channel int8 (last axis)
+      uint32_t n_scales = 0;
+      f.read(reinterpret_cast<char*>(&n_scales), 4);
+      t.scales.resize(n_scales);
+      f.read(reinterpret_cast<char*>(t.scales.data()), 4 * n_scales);
+      t.qdata.resize(t.size());
+      f.read(reinterpret_cast<char*>(t.qdata.data()), t.size());
+      if (ndim == 0 || t.shape[ndim - 1] != n_scales)
+        throw std::runtime_error("quantized tensor scale count mismatch: " +
+                                 name);
+    } else {
+      throw std::runtime_error("unknown tensor dtype in " + path);
+    }
     m.tensors.emplace(std::move(name), std::move(t));
   }
 
@@ -93,6 +110,17 @@ static void pad_amounts(int in, int k, int stride, int* out, int* pad_lo) {
   *pad_lo = total / 2;
 }
 
+float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q) {
+  float amax = 0.0f;
+  for (size_t i = 0; i < n; ++i) amax = std::max(amax, std::fabs(x[i]));
+  const float scale = amax > 0 ? amax / 127.0f : 1.0f;
+  const float inv = 1.0f / scale;
+  q.resize(n);
+  for (size_t i = 0; i < n; ++i)
+    q[i] = static_cast<int8_t>(std::lrintf(x[i] * inv));
+  return scale;
+}
+
 void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
                  const Tensor& kernel, const float* bias, int stride,
                  std::vector<float>& out, int& Ho, int& Wo) {
@@ -104,6 +132,40 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * Cout, 0.0f);
   const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
+  if (kernel.quantized()) {
+    // dynamic-range int8: per-tensor activation scale, int32 accumulation,
+    // per-output-channel weight scales (symmetric — zero padding is exact)
+    std::vector<int8_t> qin;
+    const float in_scale = quantize_acts(in.data(), in.size(), qin);
+    parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
+      std::vector<int32_t> acc(Cout);
+      for (int oy = oy_begin; oy < oy_end; ++oy) {
+        for (int ox = 0; ox < Wo_v; ++ox) {
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int ky = 0; ky < kh; ++ky) {
+            const int iy = oy * stride + ky - ph_v;
+            if (iy < 0 || iy >= H) continue;
+            for (int kx = 0; kx < kw; ++kx) {
+              const int ix = ox * stride + kx - pw_v;
+              if (ix < 0 || ix >= W) continue;
+              const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * Cin];
+              const int8_t* wrow =
+                  &kernel
+                       .qdata[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
+              for (int ci = 0; ci < Cin; ++ci)
+                for (int co = 0; co < Cout; ++co)
+                  acc[co] += static_cast<int32_t>(src[ci]) * wrow[ci * Cout + co];
+            }
+          }
+          float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * Cout];
+          for (int co = 0; co < Cout; ++co)
+            dst[co] = acc[co] * in_scale * kernel.scales[co] +
+                      (bias ? bias[co] : 0.0f);
+        }
+      }
+    });
+    return;
+  }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
     for (int oy = oy_begin; oy < oy_end; ++oy) {
       for (int ox = 0; ox < Wo_v; ++ox) {
@@ -139,6 +201,35 @@ void depthwise_same(const std::vector<float>& in, int H, int W, int C,
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
   const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
+  if (kernel.quantized()) {
+    std::vector<int8_t> qin;
+    const float in_scale = quantize_acts(in.data(), in.size(), qin);
+    parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
+      std::vector<int32_t> acc(C);
+      for (int oy = oy_begin; oy < oy_end; ++oy) {
+        for (int ox = 0; ox < Wo_v; ++ox) {
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int ky = 0; ky < kh; ++ky) {
+            const int iy = oy * stride + ky - ph_v;
+            if (iy < 0 || iy >= H) continue;
+            for (int kx = 0; kx < kw; ++kx) {
+              const int ix = ox * stride + kx - pw_v;
+              if (ix < 0 || ix >= W) continue;
+              const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * C];
+              const int8_t* wrow =
+                  &kernel.qdata[(static_cast<size_t>(ky) * kw + kx) * C];
+              for (int c = 0; c < C; ++c)
+                acc[c] += static_cast<int32_t>(src[c]) * wrow[c];
+            }
+          }
+          float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * C];
+          for (int c = 0; c < C; ++c)
+            dst[c] = acc[c] * in_scale * kernel.scales[c];
+        }
+      }
+    });
+    return;
+  }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
     for (int oy = oy_begin; oy < oy_end; ++oy) {
       for (int ox = 0; ox < Wo_v; ++ox) {
@@ -184,16 +275,38 @@ void maxpool2(const std::vector<float>& in, int H, int W, int C,
       }
 }
 
+void matvec_accum(const float* x, int D, const Tensor& kernel,
+                  std::vector<float>& out) {
+  const int U = kernel.shape[1];
+  assert(static_cast<int>(kernel.shape[0]) == D);
+  assert(static_cast<int>(out.size()) == U);
+  if (kernel.quantized()) {
+    std::vector<int8_t> qx;
+    const float in_scale = quantize_acts(x, D, qx);
+    std::vector<int32_t> acc(U, 0);
+    for (int d = 0; d < D; ++d) {
+      const int32_t v = qx[d];
+      if (v == 0) continue;
+      const int8_t* row = &kernel.qdata[static_cast<size_t>(d) * U];
+      for (int u = 0; u < U; ++u) acc[u] += v * row[u];
+    }
+    for (int u = 0; u < U; ++u)
+      out[u] += acc[u] * in_scale * kernel.scales[u];
+    return;
+  }
+  for (int d = 0; d < D; ++d) {
+    const float v = x[d];
+    const float* row = &kernel.data[static_cast<size_t>(d) * U];
+    for (int u = 0; u < U; ++u) out[u] += v * row[u];
+  }
+}
+
 void dense(const std::vector<float>& in, const Tensor& kernel,
            const float* bias, std::vector<float>& out) {
   const int D = kernel.shape[0], U = kernel.shape[1];
   assert(static_cast<int>(in.size()) == D);
   out.assign(U, 0.0f);
-  for (int d = 0; d < D; ++d) {
-    const float v = in[d];
-    const float* row = &kernel.data[static_cast<size_t>(d) * U];
-    for (int u = 0; u < U; ++u) out[u] += v * row[u];
-  }
+  matvec_accum(in.data(), D, kernel, out);
   if (bias)
     for (int u = 0; u < U; ++u) out[u] += bias[u];
 }
@@ -329,16 +442,8 @@ std::vector<float> rnn_forward(const NativeModel& m,
     for (int t = 0; t < T; ++t) {
       const float* x = &features[static_cast<size_t>(t) * D];
       std::vector<float> xw(3 * U, 0.0f), hw(3 * U, 0.0f);
-      for (int d = 0; d < D; ++d) {
-        const float v = x[d];
-        const float* row = &K.data[static_cast<size_t>(d) * 3 * U];
-        for (int u = 0; u < 3 * U; ++u) xw[u] += v * row[u];
-      }
-      for (int d = 0; d < U; ++d) {
-        const float v = h[d];
-        const float* row = &R.data[static_cast<size_t>(d) * 3 * U];
-        for (int u = 0; u < 3 * U; ++u) hw[u] += v * row[u];
-      }
+      ops::matvec_accum(x, D, K, xw);
+      ops::matvec_accum(h.data(), U, R, hw);
       for (int u = 0; u < 3 * U; ++u) {
         xw[u] += bi.data[u];
         hw[u] += br.data[u];
@@ -355,16 +460,8 @@ std::vector<float> rnn_forward(const NativeModel& m,
     for (int t = 0; t < T; ++t) {
       const float* x = &features[static_cast<size_t>(t) * D];
       std::vector<float> g(4 * U, 0.0f);
-      for (int d = 0; d < D; ++d) {
-        const float v = x[d];
-        const float* row = &K.data[static_cast<size_t>(d) * 4 * U];
-        for (int u = 0; u < 4 * U; ++u) g[u] += v * row[u];
-      }
-      for (int d = 0; d < U; ++d) {
-        const float v = h[d];
-        const float* row = &R.data[static_cast<size_t>(d) * 4 * U];
-        for (int u = 0; u < 4 * U; ++u) g[u] += v * row[u];
-      }
+      ops::matvec_accum(x, D, K, g);
+      ops::matvec_accum(h.data(), U, R, g);
       for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];
       for (int u = 0; u < U; ++u) {
         const float i = sigmoidf(g[u]);

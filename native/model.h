@@ -18,7 +18,10 @@ namespace tsc {
 
 struct Tensor {
   std::vector<uint32_t> shape;
-  std::vector<float> data;
+  std::vector<float> data;     // float32 payload (empty when quantized)
+  std::vector<int8_t> qdata;   // symmetric int8 payload (.tscm v2 dtype 1)
+  std::vector<float> scales;   // per-channel scales over the LAST axis
+  bool quantized() const { return !qdata.empty(); }
   size_t size() const {
     size_t n = 1;
     for (auto d : shape) n *= d;
@@ -73,7 +76,15 @@ void maxpool2(const std::vector<float>& in, int H, int W, int C,
               std::vector<float>& out, int& Ho, int& Wo);
 void dense(const std::vector<float>& in, const Tensor& kernel,
            const float* bias, std::vector<float>& out);
+// out += x @ kernel for a (D, U) kernel (RNN gate matmuls); out must be
+// pre-sized to U.  Handles float and quantized kernels.
+void matvec_accum(const float* x, int D, const Tensor& kernel,
+                  std::vector<float>& out);
 void softmax(std::vector<float>& x);
+
+// dynamic-range activation quantization: scale = max|x|/127,
+// q = round(x/scale).  Used by the int8 kernel paths.
+float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q);
 
 }  // namespace ops
 

@@ -201,3 +201,85 @@ def test_native_non_pow2_fft_matches_oracle(audio):
     )
     assert got.shape == expect.shape
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "model_type", ["simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"]
+)
+def test_quantized_tscm_parity(model_type, tmp_path):
+    """int8 per-channel quantized .tscm (format v2): ~3.5x smaller blob and
+    the native runtime's dynamic-range int8 compute stays within a few 1e-3
+    of the float scores — the deployment analogue of the reference's TOCO
+    --quantize / MNN quantized.out post-training quantization
+    (/root/reference/inference/README.md:369-416)."""
+    from tpu_speech_commands.export.inference_loader import load_inference_model
+    from tpu_speech_commands.export.native_format import (
+        export_native,
+        read_native_model,
+    )
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state(
+        model_type, len(CLASSES), tx, jax.random.PRNGKey(7)
+    )
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    fblob = str(tmp_path / "m.tscm")
+    qblob = str(tmp_path / "m.q.tscm")
+    export_native(ckpt, fblob)
+    export_native(ckpt, qblob, quantize=True)
+    assert os.path.getsize(qblob) < 0.4 * os.path.getsize(fblob)
+
+    # every >=2-D kernel is stored int8 with per-output-channel scales
+    raw, _ = read_native_model(qblob, dequantize=False)
+    kernels = [k for k in raw if k.endswith("kernel")]
+    assert kernels
+    for k in kernels:
+        q, scales = raw[k]
+        assert q.dtype == np.int8 and np.abs(q).max() <= 127
+        assert scales.shape == (q.shape[-1],) and (scales > 0).all()
+
+    pf, _ = load_inference_model(fblob)
+    pq, fmt = load_inference_model(qblob)
+    assert fmt == "TSCM"
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((8, 30, 20)).astype(np.float32)
+    sf, sq = pf(feats), pq(feats)
+    np.testing.assert_allclose(sq.sum(-1), 1.0, rtol=1e-4)
+    assert np.abs(sf - sq).max() < 0.02
+
+
+def test_native_app_runs_quantized_blob(tmp_path, audio):
+    """The compiled single-shot app executes a quantized .tscm end-to-end."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    blob = str(tmp_path / "m.q.tscm")
+    export_native(ckpt, blob, quantize=True)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    out = subprocess.run(
+        [app, "--model", blob, "--wav", wav, "--top_k", "2"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "model invoke time" in out
+    assert any(c in out for c in CLASSES)

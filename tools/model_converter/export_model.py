@@ -30,7 +30,9 @@ def main():
                                  "keras_h5", "native"])
     parser.add_argument("--output_path", type=str, required=True)
     parser.add_argument("--quantize", action="store_true",
-                        help="TFLite dynamic-range 8-bit weight quantization")
+                        help="8-bit weight quantization: TFLite dynamic-range"
+                             " for --format tflite, symmetric per-channel"
+                             " int8 kernels for --format native")
     parser.add_argument("--calibration_features", type=str, default=None,
                         help="npy/npz of (N, n_features, feature_size) "
                              "features for full int8 activation calibration "
@@ -69,7 +71,8 @@ def main():
     elif args.format == "native":
         from tpu_speech_commands.export.native_format import export_native
 
-        out = export_native(args.checkpoint, args.output_path)
+        out = export_native(args.checkpoint, args.output_path,
+                            quantize=args.quantize)
     else:
         out = export_onnx(args.checkpoint, args.output_path)
     print(f"Exported {args.format} to {out}")
