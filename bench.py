@@ -31,7 +31,7 @@ BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 
 def bench(batch_size: int = 4096, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_cnn",
-          use_pallas: bool = True) -> float:
+          use_pallas: bool = True, audio_dtype: str = "float32") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -77,11 +77,15 @@ def bench(batch_size: int = 4096, k_inner: int = 128,
         return checksum
 
     rng = np.random.default_rng(0)
-    audio = jax.device_put(
-        jnp.asarray(
-            rng.standard_normal((batch_size, pr.max_samples)).astype(np.float32)
-        )
-    )
+    host_audio = rng.standard_normal((batch_size, pr.max_samples))
+    if audio_dtype == "int16":
+        # raw PCM16 staging — the deployment-native input format (wav files
+        # and mic captures are int16; the kernel decodes x/32768 in VMEM),
+        # and half the HBM read traffic of float32
+        host_audio = np.clip(host_audio * 8192.0, -32768, 32767).astype(np.int16)
+    else:
+        host_audio = host_audio.astype(np.float32)
+    audio = jax.device_put(jnp.asarray(host_audio))
     variables = jax.device_put(variables)
 
     checksum = forward_many(variables, audio)  # warmup/compile
