@@ -428,50 +428,73 @@ std::vector<float> cnn_forward(const NativeModel& m,
 std::vector<float> rnn_forward(const NativeModel& m,
                                const std::vector<float>& features, bool lstm) {
   const int T = m.n_features;
-  const int D = m.use_delta ? 2 * m.n_mfcc : m.n_mfcc;
-  const std::string cell =
-      lstm ? "params/backbone/lstm_unit_0/" : "params/backbone/gru_unit_0/";
-  const Tensor& K = get(m.tensors, cell + "kernel");
-  const Tensor& R = get(m.tensors, cell + "recurrent_kernel");
-  const int U = R.shape[0];
-  std::vector<float> h(U, 0.0f), c(U, 0.0f);
+  // stacked layers (models/rnn.py num_layers; reference rnn.py:28-35 —
+  // mid layers return the full sequence, the last returns the final state)
+  const std::string unit = lstm ? "lstm_unit_" : "gru_unit_";
+  int n_layers = 0;
+  while (m.tensors.count("params/backbone/" + unit +
+                         std::to_string(n_layers) + "/kernel"))
+    ++n_layers;
+  if (n_layers == 0)
+    throw std::runtime_error("no " + unit + "0 tensors in model");
 
-  if (!lstm) {
-    const Tensor& bi = get(m.tensors, cell + "bias_input");
-    const Tensor& br = get(m.tensors, cell + "bias_recurrent");
-    for (int t = 0; t < T; ++t) {
-      const float* x = &features[static_cast<size_t>(t) * D];
-      std::vector<float> xw(3 * U, 0.0f), hw(3 * U, 0.0f);
-      ops::matvec_accum(x, D, K, xw);
-      ops::matvec_accum(h.data(), U, R, hw);
-      for (int u = 0; u < 3 * U; ++u) {
-        xw[u] += bi.data[u];
-        hw[u] += br.data[u];
+  std::vector<float> seq = features;  // (T, D) row-major
+  int D = m.use_delta ? 2 * m.n_mfcc : m.n_mfcc;
+  std::vector<float> h;
+  for (int li = 0; li < n_layers; ++li) {
+    const std::string cell =
+        "params/backbone/" + unit + std::to_string(li) + "/";
+    const Tensor& K = get(m.tensors, cell + "kernel");
+    const Tensor& R = get(m.tensors, cell + "recurrent_kernel");
+    const int U = R.shape[0];
+    const bool last = li == n_layers - 1;
+    std::vector<float> out_seq(last ? 0 : static_cast<size_t>(T) * U);
+    h.assign(U, 0.0f);
+    std::vector<float> c(U, 0.0f);
+
+    if (!lstm) {
+      const Tensor& bi = get(m.tensors, cell + "bias_input");
+      const Tensor& br = get(m.tensors, cell + "bias_recurrent");
+      for (int t = 0; t < T; ++t) {
+        const float* x = &seq[static_cast<size_t>(t) * D];
+        std::vector<float> xw(3 * U, 0.0f), hw(3 * U, 0.0f);
+        ops::matvec_accum(x, D, K, xw);
+        ops::matvec_accum(h.data(), U, R, hw);
+        for (int u = 0; u < 3 * U; ++u) {
+          xw[u] += bi.data[u];
+          hw[u] += br.data[u];
+        }
+        for (int u = 0; u < U; ++u) {
+          const float z = sigmoidf(xw[u] + hw[u]);
+          const float r = sigmoidf(xw[U + u] + hw[U + u]);
+          const float cand = xw[2 * U + u] + r * hw[2 * U + u];  // linear act
+          h[u] = z * h[u] + (1.0f - z) * cand;
+        }
+        if (!last)
+          std::copy(h.begin(), h.end(), out_seq.begin() + static_cast<size_t>(t) * U);
       }
-      for (int u = 0; u < U; ++u) {
-        const float z = sigmoidf(xw[u] + hw[u]);
-        const float r = sigmoidf(xw[U + u] + hw[U + u]);
-        const float cand = xw[2 * U + u] + r * hw[2 * U + u];  // linear act
-        h[u] = z * h[u] + (1.0f - z) * cand;
+    } else {
+      const Tensor& B = get(m.tensors, cell + "bias");
+      for (int t = 0; t < T; ++t) {
+        const float* x = &seq[static_cast<size_t>(t) * D];
+        std::vector<float> g(4 * U, 0.0f);
+        ops::matvec_accum(x, D, K, g);
+        ops::matvec_accum(h.data(), U, R, g);
+        for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];
+        for (int u = 0; u < U; ++u) {
+          const float i = sigmoidf(g[u]);
+          const float f = sigmoidf(g[U + u]);
+          const float cand = std::tanh(g[2 * U + u]);
+          const float o = sigmoidf(g[3 * U + u]);
+          c[u] = f * c[u] + i * cand;
+          h[u] = o * std::tanh(c[u]);
+        }
+        if (!last)
+          std::copy(h.begin(), h.end(), out_seq.begin() + static_cast<size_t>(t) * U);
       }
     }
-  } else {
-    const Tensor& B = get(m.tensors, cell + "bias");
-    for (int t = 0; t < T; ++t) {
-      const float* x = &features[static_cast<size_t>(t) * D];
-      std::vector<float> g(4 * U, 0.0f);
-      ops::matvec_accum(x, D, K, g);
-      ops::matvec_accum(h.data(), U, R, g);
-      for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];
-      for (int u = 0; u < U; ++u) {
-        const float i = sigmoidf(g[u]);
-        const float f = sigmoidf(g[U + u]);
-        const float cand = std::tanh(g[2 * U + u]);
-        const float o = sigmoidf(g[3 * U + u]);
-        c[u] = f * c[u] + i * cand;
-        h[u] = o * std::tanh(c[u]);
-      }
-    }
+    seq.swap(out_seq);
+    D = U;
   }
 
   std::vector<float> logits;

@@ -283,3 +283,44 @@ def test_native_app_runs_quantized_blob(tmp_path, audio):
     ).stdout
     assert "model invoke time" in out
     assert any(c in out for c in CLASSES)
+
+
+@pytest.mark.parametrize("model_type,n_layers", [("simple_gru", 2),
+                                                 ("simple_lstm", 3)])
+def test_native_stacked_rnn_matches_jax(model_type, n_layers, tmp_path):
+    """Stacked (num_layers > 1) RNNs execute layer-for-layer in the native
+    runtime (mid layers feed full sequences forward — reference
+    rnn.py:28-35); previously only *_unit_0 ran."""
+    from tpu_speech_commands.export.inference_loader import load_inference_model
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.models.rnn import SimpleGRU, SimpleLSTM
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training.checkpoints import save_checkpoint
+    import jax.numpy as jnp
+
+    cls = SimpleGRU if model_type == "simple_gru" else SimpleLSTM
+    model = cls(num_classes=len(CLASSES), recurrent_units=16,
+                num_layers=n_layers)
+    variables = model.init({"params": jax.random.PRNGKey(5)},
+                           jnp.zeros((2, 30, 20)), train=False)
+
+    class FakeState:
+        params = variables["params"]
+        batch_stats = None
+        tx = None
+
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, FakeState, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+    })
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    predict, fmt = load_inference_model(blob)
+    assert fmt == "TSCM"
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((4, 30, 20)).astype(np.float32)
+    want = np.asarray(jax.nn.softmax(
+        model.apply(variables, jnp.asarray(feats), train=False), -1))
+    np.testing.assert_allclose(predict(feats), want, rtol=1e-4, atol=1e-5)

@@ -126,6 +126,13 @@ def _load_rnn(w, model_type):
     cell = "gru" if model_type == "simple_gru" else "lstm"
     units = _indexed(w, f"{cell}_unit_0")
     assert units, f"{cell}_unit_0 not found"
+    if _indexed(w, f"{cell}_unit_1"):
+        raise NotImplementedError(
+            "stacked (num_layers > 1) RNN H5 import is not supported by the "
+            "Keras interop path — the reference architecture uses one layer; "
+            "use the native .npz checkpoint / .tscm / ONNX paths for stacked "
+            "models"
+        )
     layer = units[0]
     kernel = _layer_tensor(w, layer, "kernel")
     recurrent = _layer_tensor(w, layer, "recurrent_kernel")
