@@ -39,3 +39,45 @@ def test_two_layer_lstm_forward():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     assert "lstm_unit_1" in variables["params"]["backbone"]
     assert model.apply(variables, x, train=False).shape == (2, 3)
+
+
+def test_stacked_checkpoint_roundtrip_through_loader(tmp_path):
+    """--num_layers checkpoints are self-describing: meta carries
+    num_layers and load_inference_model rebuilds the stacked module."""
+    import jax
+    import numpy as np
+
+    from tpu_speech_commands.export.inference_loader import load_inference_model
+    from tpu_speech_commands.models import init_model, score_fn
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import save_checkpoint
+    from tpu_speech_commands.training.trainer import TrainState
+
+    model, variables = init_model("simple_gru", 4, jax.random.PRNGKey(1),
+                                  num_layers=2)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx,
+                              batch_stats=None)
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_gru", "num_classes": 4,
+        "classes": ["background", "a", "b", "c"], "params": pr.to_dict(),
+        "num_layers": 2,
+    })
+    predict, fmt = load_inference_model(ckpt)
+    assert fmt == "NATIVE"
+    feats = np.random.default_rng(0).standard_normal((3, 30, 20)).astype(
+        np.float32)
+    want = np.asarray(score_fn(model.apply(variables, feats, train=False)))
+    np.testing.assert_allclose(predict(feats), want, rtol=1e-5, atol=1e-6)
+
+
+def test_factory_rejects_num_layers_for_cnn():
+    import pytest as _pytest
+
+    from tpu_speech_commands.models import get_model
+
+    with _pytest.raises(ValueError, match="num_layers"):
+        get_model("simple_cnn", 4, num_layers=2)

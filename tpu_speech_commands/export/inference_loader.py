@@ -54,7 +54,8 @@ def load_native(model_path: str):
     if meta.get("params"):
         pr.override(meta["params"])
     model, init_vars = init_model(
-        model_type, num_classes, jax.random.PRNGKey(0), params=pr
+        model_type, num_classes, jax.random.PRNGKey(0), params=pr,
+        num_layers=int(meta.get("num_layers", 1)),
     )
     # adopt checkpoint arrays (shapes validated against a fresh init)
     def adopt(new, old):

@@ -24,8 +24,13 @@ def is_cnn(model_type: str) -> bool:
 
 
 def get_model(model_type: str, num_classes: int, dtype=jnp.float32,
-              bn_momentum: float = 0.99):
-    """Build a model instance for the given type."""
+              bn_momentum: float = 0.99, num_layers: int = 1):
+    """Build a model instance for the given type.
+
+    num_layers stacks RNN layers (reference rnn.py num_layers param, not
+    exposed by its model.py); CNNs reject num_layers != 1."""
+    if is_cnn(model_type) and num_layers != 1:
+        raise ValueError(f"num_layers only applies to RNN models, not {model_type}")
     if model_type == "simple_cnn":
         return SimpleCNN(num_classes=num_classes, dtype=dtype,
                          bn_momentum=bn_momentum)
@@ -33,9 +38,11 @@ def get_model(model_type: str, num_classes: int, dtype=jnp.float32,
         return SimpleCNNLite(num_classes=num_classes, dtype=dtype,
                              bn_momentum=bn_momentum)
     elif model_type == "simple_gru":
-        return SimpleGRU(num_classes=num_classes, recurrent_units=48, dtype=dtype)
+        return SimpleGRU(num_classes=num_classes, recurrent_units=48,
+                         num_layers=num_layers, dtype=dtype)
     elif model_type == "simple_lstm":
-        return SimpleLSTM(num_classes=num_classes, recurrent_units=48, dtype=dtype)
+        return SimpleLSTM(num_classes=num_classes, recurrent_units=48,
+                          num_layers=num_layers, dtype=dtype)
     raise ValueError("Unsupported model type")
 
 
@@ -54,9 +61,11 @@ def features_to_input(features: jax.Array, model_type: str) -> jax.Array:
     return features
 
 
-def init_model(model_type, num_classes, rng, batch_size=2, dtype=jnp.float32, params=None):
+def init_model(model_type, num_classes, rng, batch_size=2, dtype=jnp.float32,
+               params=None, num_layers=1):
     """Build and initialise; returns (model, variables)."""
-    model = get_model(model_type, num_classes, dtype=dtype)
+    model = get_model(model_type, num_classes, dtype=dtype,
+                      num_layers=num_layers)
     dummy = jnp.zeros(input_shape(model_type, batch_size, params), jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)
     return model, variables

@@ -107,7 +107,8 @@ def main(args):
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     model = get_model(args.model_type, num_classes, dtype=dtype,
-                      bn_momentum=args.bn_momentum)
+                      bn_momentum=args.bn_momentum,
+                      num_layers=args.num_layers)
     from tpu_speech_commands.models import input_shape
 
     dummy = jnp.zeros((2,) + input_shape(args.model_type), jnp.float32)
@@ -148,6 +149,8 @@ def main(args):
         "params": pr.to_dict(),
         "feature_type": args.feature_type,
     }
+    if args.num_layers != 1:
+        trainer_meta["num_layers"] = args.num_layers
     trainer = Trainer(
         model, state, args.model_type, num_classes, config,
         background_bias=args.background_bias, mesh=mesh,
@@ -202,6 +205,9 @@ def build_parser():
     parser.add_argument("--augment", action="store_true",
                         help="on-device augmentation: train on raw audio with "
                              "random gain/shift/noise-SNR inside the step")
+    parser.add_argument("--num_layers", type=int, default=1,
+                        help="stacked RNN layers (RNN model types only; "
+                             "reference rnn.py num_layers)")
     parser.add_argument("--bn_momentum", type=float, default=0.99,
                         help="BatchNorm running-stats momentum (Keras default "
                              "0.99; lower converges eval stats faster on "
