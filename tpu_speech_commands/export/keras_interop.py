@@ -227,6 +227,13 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
     num_classes = meta["num_classes"]
     params = variables["params"]
     batch_stats = variables.get("batch_stats") or {}
+    if any("_unit_" in k and not k.endswith("_unit_0") for k in
+           (variables["params"].get("backbone") or {})):
+        raise NotImplementedError(
+            "stacked (num_layers > 1) RNN H5 export is not supported — the "
+            "reference architecture uses one layer; use SavedModel/ONNX/"
+            ".tscm for stacked models"
+        )
 
     keras_model = build_keras_model(
         model_type, num_classes, pr.n_features, pr.feature_size
