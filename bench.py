@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Benchmark: feature-extraction + inference windows/sec/chip.
 
-Measures the fused Pallas-MFCC frontend + simple_cnn forward on
+Measures the fused Pallas-MFCC frontend + simple_gru forward on
 device-resident 1-second audio windows — the TPU counterpart of the
-reference's single-stream C++ path (feature 3.051 ms + invoke 2.216 ms =>
-~190 windows/sec/core, /root/reference/inference/README.md:170-171; see
-BASELINE.md; the MNN path is ~265 w/s).
+reference's single-stream C++ path and its own headline config (GRU/TFLite:
+feature 3.051 ms + invoke 2.216 ms => ~190 windows/sec/core,
+/root/reference/inference/README.md:170-171; see BASELINE.md).  Same
+architecture class on both sides: RNN here vs the RNN baseline (the CNN/MNN
+pair is 3.27M vs 265 w/s — see PARITY.md for every family).
 
 Methodology: `k_inner` iterations run inside ONE jitted `lax.scan` whose
 carry accumulates a checksum over every score — a single device dispatch
@@ -29,9 +31,12 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 
 
-def bench(batch_size: int = 4096, k_inner: int = 128,
-          outer: int = 8, model_type: str = "simple_cnn",
+def bench(batch_size: int = 8192, k_inner: int = 128,
+          outer: int = 8, model_type: str = "simple_gru",
           use_pallas: bool = True, audio_dtype: str = "float32") -> float:
+    # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
+    # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
+    # 16384 compiles for many minutes through the tunnel for ~no gain)
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +119,8 @@ def main():
         json.dumps(
             {
                 "metric": "feature+inference windows/sec/chip "
-                          "(simple_cnn, fused Pallas CT-DFT MFCC, "
+                          "(simple_gru — the reference's headline RNN "
+                          "config — fused Pallas CT-DFT MFCC, "
                           "scan-checksum)",
                 "value": round(best, 1),
                 "unit": "windows/s",
