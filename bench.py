@@ -53,7 +53,14 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         frontend = make_fused_frontend(pr, batch_tile=16)
     else:
         fe = Frontend(pr)
-        frontend = lambda audio, gain: fe(audio * gain)  # noqa: E731
+
+        def frontend(audio, gain):
+            # decode PCM16 before the gain multiply — `audio * gain` would
+            # promote to float and skip Frontend's own int16 decode branch,
+            # leaving features scaled 32768x vs the fused path
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            return fe(audio * gain)
     # bf16 activations for the classifier: standard TPU serving precision
     # (params stay f32; frontend numerics stay exact f32). Top-1 agreement
     # with the f32 model is 1.0, max softmax delta ~5e-4 — and the

@@ -98,6 +98,28 @@ def test_auto_selects_ct_when_eligible():
     assert np.isfinite(np.asarray(fe(a))).all()
 
 
+def test_odd_n2_falls_back_to_dense():
+    """n_fft = 384 (n2 = 3, odd): stage 1 treats the T[n2/2] residue as
+    purely real, which only holds for even n2 — the CT path must refuse
+    and 'auto' must produce dense-parity features, not corrupt ones."""
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
+
+    p = ListenerParams(window_t=0.024, n_fft=384)  # window_samples == 384
+    assert p.window_samples == p.n_fft
+    assert not _ct_eligible(p)
+    with pytest.raises(ValueError):
+        make_fused_frontend(p, dft_mode="ct")
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((4, p.max_samples)).astype(np.float32))
+    fused = make_fused_frontend(p, batch_tile=4, interpret=True,
+                                dft_mode="auto")
+    np.testing.assert_allclose(
+        np.asarray(fused(a)), np.asarray(Frontend(p)(a)), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_dft8_butterfly_matches_fft():
     from tpu_speech_commands.ops.pallas_frontend import _dft8_real
 

@@ -154,6 +154,28 @@ def test_eval_confusion_matrix(tmp_path):
     assert os.path.exists(tmp_path / "confusion_matrix.png")
 
 
+def test_eval_chunked_staging_matches_single_dispatch(tmp_path, monkeypatch):
+    """Eval sets beyond the staging cap run as several scan dispatches;
+    accuracy and confusion must be identical to the one-dispatch path."""
+    from tpu_speech_commands.evaluation import evaluate as ev
+
+    ds = toy_dataset(n_per_class=16)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn", 3, tx, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    kw = dict(batch_size=8, save_plot=False, verbose=False)
+    acc1, conf1 = evaluate_accuracy(
+        model, variables, ds, "simple_cnn", CLASSES, **kw
+    )
+    # force ~1 batch per chunk -> 6 chunked dispatches over 48 samples
+    monkeypatch.setattr(ev, "SCAN_STAGING_LIMIT_BYTES", 1)
+    acc2, conf2 = evaluate_accuracy(
+        model, variables, ds, "simple_cnn", CLASSES, **kw
+    )
+    assert acc1 == acc2
+    np.testing.assert_array_equal(conf1, conf2)
+
+
 def test_fit_is_deterministic_for_fixed_seed(tmp_path):
     """Two fits with identical seeds/data produce identical histories and
     final params (device-side shuffle + dropout are PRNG-keyed)."""

@@ -137,6 +137,11 @@ def main():
                         help="seconds of context kept after the segment")
     parser.add_argument("--sample_rate", type=int, default=16000)
     args = parser.parse_args()
+    if not 0 <= args.segment_index < args.expect_segments:
+        parser.error(
+            f"--segment_index {args.segment_index} out of range for "
+            f"--expect_segments {args.expect_segments}"
+        )
 
     if os.path.isfile(args.wav_path):
         audio = load_wav(args.wav_path, sample_rate=args.sample_rate)

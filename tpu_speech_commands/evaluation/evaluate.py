@@ -16,7 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import Dataset
+from ..models import is_cnn
 from ..parallel import make_mesh, replicated
+
+# device-staging cap for the one-dispatch whole-set scan; larger sets are
+# evaluated in staged chunks of this many bytes (same bound as
+# Trainer.scan_staging_limit_bytes)
+SCAN_STAGING_LIMIT_BYTES = 2 << 30
 
 
 def make_confusion_eval_step(model, num_classes: int, has_batch_stats: bool):
@@ -76,12 +82,13 @@ def evaluate_accuracy(
     t0 = time.time()
     # stage the whole set once, batch-reshape on the host, ONE device
     # dispatch for the full pass (per-batch dispatches are RTT-bound on
-    # the tunneled platform)
+    # the tunneled platform); sets beyond the staging cap run as a few
+    # chunked scan dispatches instead of one unbounded device_put
     n = len(ds)
     b = batch_size
     n_pad = max(1, -(-n // b)) * b
     x_np = np.asarray(ds.x, np.float32)
-    if x_np.ndim == 3 and model_type in ("simple_cnn", "simple_cnn_lite"):
+    if x_np.ndim == 3 and is_cnn(model_type):
         x_np = x_np[..., None]
     x_all = np.zeros((n_pad,) + x_np.shape[1:], np.float32)
     x_all[:n] = x_np
@@ -90,6 +97,8 @@ def evaluate_accuracy(
     m_all = np.zeros(n_pad, np.float32)
     m_all[:n] = 1.0
     n_b = n_pad // b
+    bytes_per_batch = (x_all.nbytes + y_all.nbytes + m_all.nbytes) // n_b
+    batches_per_chunk = max(1, SCAN_STAGING_LIMIT_BYTES // max(bytes_per_batch, 1))
     scan_data = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data")
     )
@@ -99,15 +108,25 @@ def evaluate_accuracy(
         in_shardings=(repl, scan_data, scan_data, scan_data),
         out_shardings=repl,
     )
-    correct, count, conf = eval_scan(
-        variables,
-        put(x_all.reshape((n_b, b) + x_all.shape[1:])),
-        put(y_all.reshape(n_b, b)),
-        put(m_all.reshape(n_b, b)),
-    )
-    total_correct = float(correct)
-    total_count = float(count)
-    confusion = np.asarray(conf, np.float64)
+    x_all = x_all.reshape((n_b, b) + x_all.shape[1:])
+    y_all = y_all.reshape(n_b, b)
+    m_all = m_all.reshape(n_b, b)
+    total_correct = 0.0
+    total_count = 0.0
+    confusion = np.zeros((num_classes, num_classes), np.float64)
+    for start in range(0, n_b, batches_per_chunk):
+        # uniform chunk length keeps one compiled program for all full
+        # chunks; only a shorter final chunk compiles a second shape
+        end = min(start + batches_per_chunk, n_b)
+        correct, count, conf = eval_scan(
+            variables,
+            put(x_all[start:end]),
+            put(y_all[start:end]),
+            put(m_all[start:end]),
+        )
+        total_correct += float(correct)
+        total_count += float(count)
+        confusion += np.asarray(conf, np.float64)
     dt = time.time() - t0
 
     accuracy = total_correct / max(total_count, 1.0)

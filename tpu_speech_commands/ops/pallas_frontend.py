@@ -72,11 +72,16 @@ LANES = 128
 
 
 def _ct_eligible(p: ListenerParams) -> bool:
-    """The Cooley-Tukey GEMM-DFT needs n_fft = n2*128 (n2 >= 2) and a
-    window that fills the transform exactly (no zero-padding tail)."""
+    """The Cooley-Tukey GEMM-DFT needs n_fft = n2*128 with n2 even (the
+    stage-1 butterfly treats the T[n2/2] residue row as purely real, which
+    only holds for even n2, and the 50%-overlap cell streams cover n2
+    planes in half+half pairs) and a window that fills the transform
+    exactly (no zero-padding tail)."""
+    n2 = p.n_fft // LANES
     return (
         p.n_fft % LANES == 0
-        and p.n_fft // LANES >= 2
+        and n2 >= 2
+        and n2 % 2 == 0
         and p.window_samples == p.n_fft
     )
 
@@ -231,8 +236,8 @@ def make_fused_frontend(
     if dft_mode == "ct":
         if not _ct_eligible(p):
             raise ValueError(
-                "dft_mode='ct' needs n_fft a multiple of 128 (>=256) and "
-                f"window_samples == n_fft; got window={p.window_samples} "
+                "dft_mode='ct' needs n_fft an even multiple of 128 (>=256) "
+                f"and window_samples == n_fft; got window={p.window_samples} "
                 f"n_fft={p.n_fft}"
             )
         return _make_ct_frontend(p, feature_type, batch_tile, interpret,

@@ -207,12 +207,6 @@ class Trainer:
             state, metrics = base_train(state, x, y, mask, rng)
             return state, jax.tree_util.tree_map(jnp.add, totals, metrics)
 
-        self._train_step = jax.jit(
-            base_train,
-            in_shardings=(st_shard, data, data, data, repl),
-            out_shardings=(st_shard, repl),
-            donate_argnums=(0,),
-        )
         self._train_step_acc = jax.jit(
             train_step_acc,
             in_shardings=(st_shard, data, data, data, repl, repl),
@@ -226,11 +220,6 @@ class Trainer:
             out = base_eval(state, x, y, mask)
             return jax.tree_util.tree_map(jnp.add, sums, out)
 
-        self._eval_step = jax.jit(
-            base_eval,
-            in_shardings=(st_shard, data, data, data),
-            out_shardings=repl,
-        )
         self._eval_step_acc = jax.jit(
             eval_step_acc,
             in_shardings=(st_shard, data, data, data, repl),
@@ -323,7 +312,11 @@ class Trainer:
         self._data_sharding = data
         self._repl_sharding = repl
         self._device_datasets: dict[int, tuple] = {}
-        self._host_step = 0  # mirrors state.step without device syncs
+        # mirrors state.step without per-step device syncs; seeded from the
+        # true optimizer step so restored/fine-tuned states keep averaging
+        # schedules (swa_start, lookahead sync_period) aligned with the
+        # scan path, which reads st.step directly
+        self._host_step = int(jax.device_get(self.state.step))
         self.history: list[EpochMetrics] = []
 
     # -- data placement ------------------------------------------------------
@@ -339,8 +332,8 @@ class Trainer:
         return put(x), put(np.asarray(y)), put(mask)
 
     # max bytes staged on device for the whole-epoch scan path; larger
-    # datasets (or weight-averaging runs, which update host state per step)
-    # use the per-batch loop instead
+    # datasets use the per-batch loop instead (weight averaging rides the
+    # scan too, via averager.scan_update inside the epoch body)
     scan_staging_limit_bytes: int = 2 << 30
 
     def _use_scan(self, ds: Dataset) -> bool:
@@ -348,13 +341,16 @@ class Trainer:
 
     def _stage_dataset(self, ds: Dataset):
         """Pad ds to a batch multiple and place it on device ONCE (cached);
-        returns (x_all, y_all, mask_all, n_batches).  The cache holds a
-        reference to ds.x and validates identity — an id() key alone could
-        collide when a freed Dataset's id is reused."""
+        returns (x_all, y_all, mask_all, n_batches).  The cache holds
+        references to ds.x AND ds.y and validates both identities — an
+        id() key alone could collide when a freed Dataset's id is reused,
+        and a relabeled dataset wrapping the same x must restage.  Arrays
+        mutated IN PLACE are not detected; build a new Dataset (or new
+        arrays) instead of mutating staged ones."""
         key = id(ds)
         cached = self._device_datasets.get(key)
-        if cached is not None and cached[0] is ds.x:
-            return cached[1]
+        if cached is not None and cached[0] is ds.x and cached[1] is ds.y:
+            return cached[2]
         b = self.config.batch_size
         n = len(ds)
         n_pad = max(1, -(-n // b)) * b
@@ -369,7 +365,7 @@ class Trainer:
         m_all[:n] = 1.0
         put = partial(jax.device_put, device=self._data_sharding)
         staged = (put(x_all), put(y_all), put(m_all), n_pad // b)
-        self._device_datasets[key] = (ds.x, staged)
+        self._device_datasets[key] = (ds.x, ds.y, staged)
         return staged
 
     # -- epoch loops ---------------------------------------------------------
