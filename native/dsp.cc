@@ -4,6 +4,7 @@
 #include <cmath>
 #include <cstring>
 #include <limits>
+#include <stdexcept>
 
 namespace tsc {
 
@@ -159,6 +160,15 @@ std::vector<double> dct_matrix(int n) {
 }
 
 Frontend::Frontend(const FrontendConfig& cfg) : cfg_(cfg) {
+  // dct_ is (n_filt x n_filt); frame_features reads row k for every
+  // kept coefficient, so n_mfcc > n_filt would index past it.  The
+  // python frontend narrows output width to min(n_filt, n_mfcc)
+  // (frontend/numpy_ref.py mfcc_spec) and never hits this.
+  if (cfg.n_mfcc > cfg.n_filt)
+    throw std::invalid_argument("n_mfcc must be <= n_filt");
+  if (cfg.n_fft < 2 || cfg.window_samples < 1 || cfg.hop_samples < 1 ||
+      cfg.n_filt < 1 || cfg.n_mfcc < 1)
+    throw std::invalid_argument("invalid frontend config");
   fft_len_ = cfg.n_fft / 2 + 1;
   filterbank_ = cfg.bark
                     ? bark_filterbank(cfg.n_filt, cfg.n_fft, cfg.sample_rate)

@@ -28,20 +28,42 @@ NativeModel NativeModel::load(const std::string& path) {
     throw std::runtime_error("unsupported model version");
 
   NativeModel m;
+  // bounds below reject absurd header fields from corrupt/truncated files
+  // BEFORE they turn into multi-GB allocations; every payload read is
+  // stream-checked so a truncated file errors instead of loading a
+  // zero-filled kernel tail (silently wrong predictions)
+  constexpr uint32_t kMaxMetaLen = 16u << 20;
+  constexpr uint32_t kMaxNameLen = 4096;
+  constexpr uint32_t kMaxNdim = 8;
+  constexpr size_t kMaxElems = size_t(1) << 30;
+  if (!f || meta_len > kMaxMetaLen)
+    throw std::runtime_error("corrupt model header in " + path);
   m.meta_json.resize(meta_len);
   f.read(m.meta_json.data(), meta_len);
+  if (!f) throw std::runtime_error("truncated model metadata in " + path);
 
   while (true) {
     uint32_t name_len = 0;
     f.read(reinterpret_cast<char*>(&name_len), 4);
-    if (!f) break;
+    if (!f) break;  // clean EOF between records
+    if (name_len == 0 || name_len > kMaxNameLen)
+      throw std::runtime_error("corrupt tensor record in " + path);
     std::string name(name_len, '\0');
     f.read(name.data(), name_len);
     uint32_t ndim = 0;
     f.read(reinterpret_cast<char*>(&ndim), 4);
+    if (!f || ndim > kMaxNdim)
+      throw std::runtime_error("corrupt tensor record in " + path);
     Tensor t;
     t.shape.resize(ndim);
     f.read(reinterpret_cast<char*>(t.shape.data()), 4 * ndim);
+    if (!f) throw std::runtime_error("corrupt tensor record in " + path);
+    size_t numel = 1;  // overflow-safe product: Tensor::size() could wrap
+    for (auto d : t.shape) {
+      if (d != 0 && numel > kMaxElems / d)
+        throw std::runtime_error("corrupt tensor shape in " + path);
+      numel *= d;
+    }
     uint8_t dtype = 0;  // v1 records are implicitly float32
     if (version >= 2) f.read(reinterpret_cast<char*>(&dtype), 1);
     if (dtype == 0) {
@@ -50,6 +72,8 @@ NativeModel NativeModel::load(const std::string& path) {
     } else if (dtype == 1) {  // symmetric per-channel int8 (last axis)
       uint32_t n_scales = 0;
       f.read(reinterpret_cast<char*>(&n_scales), 4);
+      if (!f || n_scales > kMaxElems)
+        throw std::runtime_error("corrupt tensor record in " + path);
       t.scales.resize(n_scales);
       f.read(reinterpret_cast<char*>(t.scales.data()), 4 * n_scales);
       t.qdata.resize(t.size());
@@ -60,6 +84,9 @@ NativeModel NativeModel::load(const std::string& path) {
     } else {
       throw std::runtime_error("unknown tensor dtype in " + path);
     }
+    if (!f)
+      throw std::runtime_error("truncated tensor payload for '" + name +
+                               "' in " + path);
     m.tensors.emplace(std::move(name), std::move(t));
   }
 
@@ -90,11 +117,15 @@ NativeModel NativeModel::load(const std::string& path) {
     m.threshold_center = p.get_number("threshold_center", 0.2);
     const json::Value& tc = p["threshold_config"];
     if (tc.is_array() && !tc.get_array(nullptr).empty()) {
-      const auto& pair = tc.get_array(nullptr)[0].get_array(nullptr);
-      if (pair.size() == 2) {
-        m.threshold_mu = pair[0].as_number();
-        m.threshold_std = pair[1].as_number();
+      // keep EVERY (mu, std) mixture component — the python Listener
+      // passes the full config to ThresholdDecoder (streaming/listener.py)
+      std::vector<std::pair<double, double>> mixture;
+      for (const auto& comp : tc.get_array(nullptr)) {
+        const auto& pair = comp.get_array(nullptr);
+        if (pair.size() == 2)
+          mixture.emplace_back(pair[0].as_number(), pair[1].as_number());
       }
+      if (!mixture.empty()) m.threshold_config = std::move(mixture);
     }
   }
   return m;
@@ -455,9 +486,13 @@ std::vector<float> rnn_forward(const NativeModel& m,
     if (!lstm) {
       const Tensor& bi = get(m.tensors, cell + "bias_input");
       const Tensor& br = get(m.tensors, cell + "bias_recurrent");
+      // gate buffers hoisted out of the timestep loop: the streaming apps
+      // call predict per chunk, so per-t allocations sit on the latency path
+      std::vector<float> xw(3 * U), hw(3 * U);
       for (int t = 0; t < T; ++t) {
         const float* x = &seq[static_cast<size_t>(t) * D];
-        std::vector<float> xw(3 * U, 0.0f), hw(3 * U, 0.0f);
+        std::fill(xw.begin(), xw.end(), 0.0f);
+        std::fill(hw.begin(), hw.end(), 0.0f);
         ops::matvec_accum(x, D, K, xw);
         ops::matvec_accum(h.data(), U, R, hw);
         for (int u = 0; u < 3 * U; ++u) {
@@ -475,9 +510,10 @@ std::vector<float> rnn_forward(const NativeModel& m,
       }
     } else {
       const Tensor& B = get(m.tensors, cell + "bias");
+      std::vector<float> g(4 * U);
       for (int t = 0; t < T; ++t) {
         const float* x = &seq[static_cast<size_t>(t) * D];
-        std::vector<float> g(4 * U, 0.0f);
+        std::fill(g.begin(), g.end(), 0.0f);
         ops::matvec_accum(x, D, K, g);
         ops::matvec_accum(h.data(), U, R, g);
         for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <map>
 #include <string>
+#include <utility>
 #include <vector>
 
 namespace tsc {
@@ -48,7 +49,10 @@ struct NativeModel {
   int max_samples = 16000;
   bool use_delta = false;
   bool bark = false;  // BFCC frontend (meta feature_type == "bark")
-  double threshold_mu = 6.0, threshold_std = 4.0, threshold_center = 0.2;
+  // full (mu, std) mixture from meta threshold_config — the python
+  // Listener passes every component to ThresholdDecoder, so must we
+  std::vector<std::pair<double, double>> threshold_config{{6.0, 4.0}};
+  double threshold_center = 0.2;
 
   static NativeModel load(const std::string& path);
 

@@ -85,11 +85,16 @@ class TriggerDetector {
   // Feed one prediction; returns whether it fired an activation.
   bool update(int index, double score) {
     const bool chunk_activated = score > sensitivity_;
-    if (class_names_[index] != "background" && index == record_index_ &&
-        chunk_activated) {
+    // out-of-range index (model wider than its class list) counts as
+    // background rather than indexing past the vector
+    const bool is_command =
+        index >= 0 && index < static_cast<int>(class_names_.size()) &&
+        class_names_[index] != "background";
+    if (is_command && index == record_index_ && chunk_activated) {
       ++activation_;
       if (activation_ > trigger_level_) {
-        activation_ = -(8 * 2048) / chunk_size_;
+        // python floor division: -(8*2048)//chunk == -ceil(16384/chunk)
+        activation_ = -((8 * 2048 + chunk_size_ - 1) / chunk_size_);
         record_index_ = index;
         return true;
       }

@@ -12,9 +12,8 @@
 #include <string>
 #include <vector>
 
-#include "dsp.h"
 #include "model.h"
-#include "postprocess.h"
+#include "stream_runtime.h"
 
 static snd_pcm_t* prepare_alsa(const char* device, int rate, int chunk) {
   snd_pcm_t* pcm = nullptr;
@@ -68,33 +67,22 @@ int main(int argc, char** argv) {
   }
 
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
+  // same bounds as the wav-replay app (and the Python streamer's asserts);
+  // an unchecked oversized chunk would wrap the ring-buffer memmove size
+  const std::string chunk_err = tsc::check_chunk_size(model, chunk_size);
+  if (!chunk_err.empty()) {
+    std::fprintf(stderr, "%s\n", chunk_err.c_str());
+    return 2;
+  }
   snd_pcm_t* pcm = prepare_alsa(device.c_str(), model.sample_rate, chunk_size);
   if (!pcm) {
     std::fprintf(stderr, "cannot open ALSA capture device %s\n", device.c_str());
     return 1;
   }
 
-  tsc::FrontendConfig cfg;
-  cfg.sample_rate = model.sample_rate;
-  cfg.window_samples = model.window_samples;
-  cfg.hop_samples = model.hop_samples;
-  cfg.n_fft = model.n_fft;
-  cfg.n_filt = model.n_filt;
-  cfg.n_mfcc = model.n_mfcc;
-  cfg.use_delta = model.use_delta;
-  cfg.bark = model.bark;
-  tsc::Frontend frontend(cfg);
-  tsc::ThresholdDecoder decoder({{model.threshold_mu, model.threshold_std}},
-                                model.threshold_center);
-  tsc::TriggerDetector trigger(chunk_size, model.class_names, sensitivity,
-                               trigger_level);
-
-  const int buffer_samples = model.buffer_samples;
-  std::vector<float> audio(buffer_samples, 0.0f);
+  tsc::StreamRuntime runtime(model, chunk_size, sensitivity, trigger_level);
   std::vector<int16_t> pcm_buf(chunk_size);
-  int fill = 0;
-  const int width = model.n_mfcc;
-  std::vector<float> feats(static_cast<size_t>(model.n_features) * width, 0.0f);
+  std::vector<float> chunk(chunk_size);
 
   while (true) {
     long got = snd_pcm_readi(pcm, pcm_buf.data(), chunk_size);
@@ -108,39 +96,10 @@ int main(int argc, char** argv) {
     }
     if (got < chunk_size) continue;
 
-    std::memmove(audio.data(), audio.data() + chunk_size,
-                 (buffer_samples - chunk_size) * sizeof(float));
-    for (int i = 0; i < chunk_size; ++i)
-      audio[buffer_samples - chunk_size + i] = pcm_buf[i] / 32768.0f;
-    fill += chunk_size;
-    if (fill >= cfg.window_samples) {
-      const int n_new = 1 + (fill - cfg.window_samples) / cfg.hop_samples;
-      std::memmove(feats.data(), feats.data() + static_cast<size_t>(n_new) * width,
-                   (static_cast<size_t>(model.n_features) - n_new) * width *
-                       sizeof(float));
-      for (int j = 0; j < n_new; ++j) {
-        const int start = buffer_samples - fill + j * cfg.hop_samples;
-        frontend.frame_features(
-            audio.data() + start, cfg.window_samples,
-            feats.data() +
-                (static_cast<size_t>(model.n_features) - n_new + j) * width);
-      }
-      fill -= n_new * cfg.hop_samples;
-    }
-
-    std::vector<float> model_in = feats;
-    if (cfg.use_delta) {
-      model_in.resize(static_cast<size_t>(model.n_features) * 2 * width);
-      tsc::add_deltas(feats.data(), model.n_features, width, model_in.data());
-    }
-    std::vector<float> scores = model.predict(model_in);
-    int index = 0;
-    for (size_t k = 1; k < scores.size(); ++k)
-      if (scores[k] > scores[index]) index = static_cast<int>(k);
-    double score = scores[index];
-    if (model.class_names[index] != "background") score = decoder.decode(score);
-    if (trigger.update(index, score))
-      std::printf("command %s detected!\n", model.class_names[index].c_str());
+    for (int i = 0; i < chunk_size; ++i) chunk[i] = pcm_buf[i] / 32768.0f;
+    const tsc::StreamRuntime::Step step = runtime.step(chunk.data());
+    if (step.triggered)
+      std::printf("command %s detected!\n", step.label.c_str());
   }
   snd_pcm_close(pcm);
   return 0;

@@ -14,10 +14,9 @@
 #include <thread>
 #include <vector>
 
-#include "dsp.h"
 #include "model.h"
 #include "parallel.h"
-#include "postprocess.h"
+#include "stream_runtime.h"
 #include "wav.h"
 
 static void print_bar(const std::string& class_name, double score,
@@ -74,90 +73,20 @@ int main(int argc, char** argv) {
     return 1;
   }
 
-  // Mirror the Python streamer's bounds (streaming/feature_stream.py):
-  // an oversized chunk would make (buffer_samples - chunk_size) negative
-  // (size_t wrap -> OOB memmove) or roll more feature rows than exist.
-  if (chunk_size < 1 ||
-      model.window_samples + chunk_size - 1 > model.buffer_samples) {
-    std::fprintf(stderr,
-                 "--chunk_size %d out of range: need 1 <= chunk_size <= "
-                 "buffer_samples - window_samples + 1 = %d\n",
-                 chunk_size,
-                 model.buffer_samples - model.window_samples + 1);
-    return 2;
-  }
-  if (1 + (chunk_size - 1) / model.hop_samples > model.n_features) {
-    std::fprintf(stderr,
-                 "--chunk_size %d produces more than n_features=%d new "
-                 "frames per chunk; lower chunk_size\n",
-                 chunk_size, model.n_features);
+  const std::string chunk_err = tsc::check_chunk_size(model, chunk_size);
+  if (!chunk_err.empty()) {
+    std::fprintf(stderr, "%s\n", chunk_err.c_str());
     return 2;
   }
 
-  tsc::FrontendConfig cfg;
-  cfg.sample_rate = model.sample_rate;
-  cfg.window_samples = model.window_samples;
-  cfg.hop_samples = model.hop_samples;
-  cfg.n_fft = model.n_fft;
-  cfg.n_filt = model.n_filt;
-  cfg.n_mfcc = model.n_mfcc;
-  cfg.use_delta = model.use_delta;
-  cfg.bark = model.bark;
-  tsc::Frontend frontend(cfg);
-
-  tsc::ThresholdDecoder decoder({{model.threshold_mu, model.threshold_std}},
-                                model.threshold_center);
-  tsc::TriggerDetector trigger(chunk_size, model.class_names, sensitivity,
-                               trigger_level);
-
-  // streaming state mirrors the python runtime: audio ring + pending count
-  // + rolling feature buffer (streaming/feature_stream.py)
-  const int buffer_samples = model.buffer_samples;
-  std::vector<float> audio(buffer_samples, 0.0f);
-  int fill = 0;
-  const int width = frontend.feature_size() / (cfg.use_delta ? 2 : 1);
-  std::vector<float> feats(static_cast<size_t>(model.n_features) * width, 0.0f);
-
+  tsc::StreamRuntime runtime(model, chunk_size, sensitivity, trigger_level);
   const int n_chunks = static_cast<int>(wav.samples.size()) / chunk_size;
   for (int ci = 0; ci < n_chunks; ++ci) {
     const float* chunk = &wav.samples[static_cast<size_t>(ci) * chunk_size];
-    // ring append
-    std::memmove(audio.data(), audio.data() + chunk_size,
-                 (buffer_samples - chunk_size) * sizeof(float));
-    std::memcpy(audio.data() + buffer_samples - chunk_size, chunk,
-                chunk_size * sizeof(float));
-    fill += chunk_size;
-    if (fill >= cfg.window_samples) {
-      const int n_new = 1 + (fill - cfg.window_samples) / cfg.hop_samples;
-      // roll features up by n_new rows
-      std::memmove(feats.data(), feats.data() + static_cast<size_t>(n_new) * width,
-                   (static_cast<size_t>(model.n_features) - n_new) * width *
-                       sizeof(float));
-      for (int j = 0; j < n_new; ++j) {
-        const int start = buffer_samples - fill + j * cfg.hop_samples;
-        frontend.frame_features(
-            audio.data() + start, cfg.window_samples,
-            feats.data() +
-                (static_cast<size_t>(model.n_features) - n_new + j) * width);
-      }
-      fill -= n_new * cfg.hop_samples;
-    }
-
-    std::vector<float> model_in = feats;
-    if (cfg.use_delta) {
-      model_in.resize(static_cast<size_t>(model.n_features) * 2 * width);
-      tsc::add_deltas(feats.data(), model.n_features, width, model_in.data());
-    }
-    std::vector<float> scores = model.predict(model_in);
-    int index = 0;
-    for (size_t k = 1; k < scores.size(); ++k)
-      if (scores[k] > scores[index]) index = static_cast<int>(k);
-    double score = scores[index];
-    const bool background = model.class_names[index] == "background";
-    if (!background) score = decoder.decode(score);
-    print_bar(model.class_names[index], score, sensitivity, background);
-    if (trigger.update(index, score))
-      std::printf("command %s detected!\n", model.class_names[index].c_str());
+    const tsc::StreamRuntime::Step step = runtime.step(chunk);
+    print_bar(step.label, step.score, sensitivity, step.background);
+    if (step.triggered)
+      std::printf("command %s detected!\n", step.label.c_str());
 
     if (realtime)
       std::this_thread::sleep_for(std::chrono::microseconds(

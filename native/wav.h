@@ -41,8 +41,12 @@ inline WavData read_wav(const std::string& path) {
     f.read(reinterpret_cast<char*>(&size), 4);
     if (!f) break;
     if (std::memcmp(id, "fmt ", 4) == 0) {
+      // a PCM fmt chunk is >= 16 bytes; anything shorter is malformed and
+      // would put the field reads below out of bounds
+      if (size < 16) throw std::runtime_error("malformed wav fmt chunk: " + path);
       std::vector<char> fmt(size + (size & 1));
       f.read(fmt.data(), size + (size & 1));
+      if (!f) throw std::runtime_error("truncated wav fmt chunk: " + path);
       audio_format = *reinterpret_cast<uint16_t*>(&fmt[0]);
       wav.num_channels = *reinterpret_cast<uint16_t*>(&fmt[2]);
       wav.sample_rate = *reinterpret_cast<uint32_t*>(&fmt[4]);
@@ -51,13 +55,20 @@ inline WavData read_wav(const std::string& path) {
       // SubFormat GUID at offset 24
       if (audio_format == 0xFFFE && size >= 26)
         audio_format = *reinterpret_cast<uint16_t*>(&fmt[24]);
+      if (wav.num_channels < 1)
+        throw std::runtime_error("wav declares zero channels: " + path);
+      if (wav.bits_per_sample != 8 && wav.bits_per_sample != 16 &&
+          wav.bits_per_sample != 24 && wav.bits_per_sample != 32)
+        throw std::runtime_error("unsupported wav bit depth");
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       if (!have_fmt) throw std::runtime_error("wav data before fmt chunk");
       std::vector<char> raw(size);
       f.read(raw.data(), size);
+      // tolerate a truncated final chunk: decode only the bytes present
+      const size_t got = static_cast<size_t>(f.gcount());
       const int bytes = wav.bits_per_sample / 8;
-      const size_t n = size / bytes;
+      const size_t n = got / bytes;
       wav.samples.resize(n);
       for (size_t i = 0; i < n; ++i) {
         if (wav.bits_per_sample == 16) {

@@ -104,3 +104,62 @@ def test_native_model_loader_rejects_corrupt(tmp_path):
     truncated.write_bytes(b"TSCM" + struct.pack("<II", 1, 1 << 30))
     with pytest.raises(RuntimeError):
         NativeModel(str(truncated))
+
+
+def test_native_model_loader_rejects_truncated_tensor(tmp_path):
+    """A valid blob cut mid-tensor must error, not load a zero-filled
+    kernel tail and silently predict garbage."""
+    import jax
+
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.native_binding import NativeModel
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
+                                  "classes": ["background", "a", "b"],
+                                  "params": pr.to_dict()})
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+    data = open(blob, "rb").read()
+    cut = tmp_path / "cut.tscm"
+    cut.write_bytes(data[: len(data) - 100])  # drop the last kernel's tail
+    with pytest.raises(RuntimeError):
+        NativeModel(str(cut))
+
+
+def test_native_app_rejects_malformed_fmt_chunk(tmp_path, rng):
+    """A wav whose fmt chunk is shorter than 16 bytes must be refused
+    (the field reads would land out of bounds), not crash the app."""
+    lib = os.path.join(REPO, "native", "build", "speech_commands")
+    if not os.path.exists(lib):
+        pytest.skip("native apps not built")
+    import jax
+
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
+                                  "classes": ["background", "a", "b"],
+                                  "params": pr.to_dict()})
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    bad = tmp_path / "badfmt.wav"
+    fmt = struct.pack("<HHI", 1, 1, 16000)  # 8-byte fmt chunk: malformed
+    with open(bad, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    out = subprocess.run([lib, "--model", blob, "--wav", str(bad)],
+                         capture_output=True, text=True)
+    assert out.returncode != 0
+    assert "fmt" in (out.stderr + out.stdout)
