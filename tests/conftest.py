@@ -25,3 +25,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _restore_pr():
+    """Snapshot/restore the global `pr` singleton around every test — the
+    checkpoint loaders and exporters inject meta['params'] into it, which
+    must not leak into unrelated tests."""
+    from tpu_speech_commands.params import pr
+
+    snap = pr.to_dict()
+    yield
+    pr.override(snap)

@@ -266,6 +266,75 @@ def test_onnx_export_with_deltas_and_alt_params(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_onnx_export_adopts_checkpoint_params(tmp_path):
+    """A checkpoint whose meta carries only 'params' (what train.py saves —
+    no explicit n_features/feature_size) must export an ONNX graph shaped
+    by THOSE params, not this process's pr defaults."""
+    from tpu_speech_commands.export.onnx_runtime_mini import OnnxModel
+    from tpu_speech_commands.export.onnx_writer import export_onnx_model
+    from tpu_speech_commands.models import init_model
+    from tpu_speech_commands.params import ListenerParams, pr
+    from tpu_speech_commands.training import TrainState
+
+    p = ListenerParams(buffer_t=2.0)  # n_features 61, not the default 30
+    assert p.n_features != pr.n_features
+    model, variables = init_model("simple_gru", len(CLASSES),
+                                  jax.random.PRNGKey(7), params=p)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
+    ckpt = str(tmp_path / "alt.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_gru", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": p.to_dict(),
+    })
+    onnx_path = str(tmp_path / "alt.onnx")
+    export_onnx_model(ckpt, onnx_path)
+
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((2, p.n_features, p.feature_size)).astype(
+        np.float32
+    )
+    got = OnnxModel(onnx_path).run({"feature_input": feats})["score_predict"]
+    from tpu_speech_commands.models import features_to_input, score_fn
+
+    want = np.asarray(score_fn(model.apply(
+        variables, features_to_input(jax.numpy.asarray(feats), "simple_gru"),
+        train=False,
+    )))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_keras_h5_export_adopts_checkpoint_params(tmp_path):
+    """export_keras_h5 must shape the H5 input from the checkpoint's
+    params, not the process defaults."""
+    from tpu_speech_commands.export.keras_interop import export_keras_h5
+    from tpu_speech_commands.models import init_model
+    from tpu_speech_commands.params import ListenerParams, pr
+    from tpu_speech_commands.training import TrainState
+
+    p = ListenerParams(buffer_t=2.0)  # n_features 61
+    assert p.n_features != pr.n_features
+    model, variables = init_model("simple_gru", len(CLASSES),
+                                  jax.random.PRNGKey(8), params=p)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
+    ckpt = str(tmp_path / "alt.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_gru", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": p.to_dict(),
+    })
+    h5 = str(tmp_path / "alt.h5")
+    export_keras_h5(ckpt, h5)
+    keras_model = tf.keras.models.load_model(h5, compile=False)
+    assert keras_model.input_shape[1] == p.n_features
+
+
 def test_tscm_blob_loads_in_python(tmp_path):
     """eval.py/listen.py can run the exact .tscm artifact that ships to
     devices (C++ runtime via ctypes) — scores match the JAX forward."""

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import weakref
 from dataclasses import dataclass
 from glob import glob
 
@@ -63,6 +64,29 @@ def load_audio_batch(wav_paths: list[str], params=None) -> np.ndarray:
     return out
 
 
+# jit wrappers cached per frontend object: a fresh jax.jit(lambda ...) on
+# every call would retrace (and on the tunneled TPU recompile, minutes)
+# once per extract_features_batched call — e.g. once per class in
+# get_dataset.  Weak keys so frontends stay garbage-collectable.
+_JITTED_FRONTENDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jitted_frontend(frontend):
+    try:
+        fn = _JITTED_FRONTENDS.get(frontend)
+    except TypeError:  # unhashable / not weakref-able callable
+        fn = None
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda a: frontend(a))
+        try:
+            _JITTED_FRONTENDS[frontend] = fn
+        except TypeError:
+            pass
+    return fn
+
+
 def extract_features_batched(
     wav_paths: list[str],
     frontend,
@@ -75,11 +99,10 @@ def extract_features_batched(
     — the TPU replacement for the reference CPU hot loop (data.py:30-46).
     The last batch is padded to `batch_size` to avoid a recompile.
     """
-    import jax
     import jax.numpy as jnp
 
     p = params or pr
-    fn = jax.jit(lambda a: frontend(a))
+    fn = _jitted_frontend(frontend)
     feats = []
     starts = range(0, len(wav_paths), batch_size)
     try:  # progress bar like the reference extraction loop (data.py:38)
@@ -155,9 +178,9 @@ def pack_cache(dataset_path: str, class_names: list[str]) -> str:
     """Consolidate the per-sample .npy cache into one packed file.
 
     At Google-Speech-Commands scale the legacy layout is ~100k tiny files;
-    the packed form loads in one read and serves `get_dataset` via
-    memory-mapped arrays.  The legacy cache remains valid (reference
-    compatibility) — packing is an optimisation, not a migration.
+    the packed form loads `get_dataset` in one archive read instead of
+    100k opens.  The legacy cache remains valid (reference compatibility)
+    — packing is an optimisation, not a migration.
     """
     ds = get_dataset(dataset_path, class_names, use_cache=True)
     out = os.path.join(dataset_path, PACKED_CACHE)
@@ -170,7 +193,9 @@ def _load_packed(dataset_path: str, class_names: list[str]):
     path = os.path.join(dataset_path, PACKED_CACHE)
     if not os.path.exists(path):
         return None
-    data = np.load(path, mmap_mode="r")
+    # one zip read (npz members are decompressed into memory; mmap does
+    # not apply to archives)
+    data = np.load(path)
     stored = [str(c) for c in data["classes"]]
     if stored != list(class_names):
         return None  # class list changed; fall back to per-sample cache

@@ -8,6 +8,7 @@ Speech Commands.  'background' is pure noise.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -42,7 +43,10 @@ def synth_command_audio(
         )
     tones = _CLASS_TONES.get(class_name)
     if tones is None:
-        base = 300.0 + 137.0 * (hash(class_name) % 23)
+        # stable across processes (builtin hash() is salted per process,
+        # which would break seed-reproducibility for custom class lists)
+        digest = zlib.crc32(class_name.encode("utf-8"))
+        base = 300.0 + 137.0 * (digest % 23)
         tones = (base, base * 2.7)
     jitter = rng.uniform(0.97, 1.03)
     env = np.hanning(n)  # utterance-shaped envelope

@@ -95,12 +95,17 @@ def load_tflite(model_path: str):
     output_details = interp.get_output_details()
     in_rank = len(input_details[0]["shape"])
 
+    allocated_shape = [None]
+
     def predict(features):
         feats = _adapt_rank(features, in_rank)
         outs = []
         for row in feats:  # TFLite interpreters are batch-1 by default
-            interp.resize_tensor_input(input_details[0]["index"], (1,) + row.shape)
-            interp.allocate_tensors()
+            shape = (1,) + row.shape
+            if allocated_shape[0] != shape:  # streaming calls reuse tensors
+                interp.resize_tensor_input(input_details[0]["index"], shape)
+                interp.allocate_tensors()
+                allocated_shape[0] = shape
             interp.set_tensor(input_details[0]["index"], row[None])
             interp.invoke()
             outs.append(interp.get_tensor(output_details[0]["index"])[0])

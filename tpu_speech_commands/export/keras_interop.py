@@ -225,6 +225,11 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
     variables, meta = load_checkpoint(checkpoint_path)
     model_type = meta["model_type"]
     num_classes = meta["num_classes"]
+    # adopt the checkpoint's audio params (as load_native does) so the H5
+    # input shape reflects the trained n_features/feature_size, not this
+    # process's defaults
+    if meta.get("params"):
+        pr.override(meta["params"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats") or {}
     if any("_unit_" in k and not k.endswith("_unit_0") for k in

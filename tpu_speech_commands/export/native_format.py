@@ -123,18 +123,10 @@ def export_native(checkpoint_path: str, output_file: str,
     (~4x smaller blob; the native runtime executes them with
     dynamic-range int8 matmuls)."""
     from ..params import pr
-    from ..training.checkpoints import load_checkpoint
-    from ..utils import path_names
-    import jax
+    from ..training.checkpoints import flatten_variables, load_checkpoint
 
     variables, meta = load_checkpoint(checkpoint_path)
-    flat = {}
-    for section in ("params", "batch_stats"):
-        tree = variables.get(section)
-        if tree is None:
-            continue
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            flat[section + "/" + "/".join(path_names(path))] = np.asarray(leaf)
+    flat = flatten_variables(variables)
     meta = {**meta}
     meta.setdefault("params", pr.to_dict())
     return write_native_model(output_file, flat, meta, quantize=quantize)

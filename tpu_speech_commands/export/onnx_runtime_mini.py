@@ -162,6 +162,9 @@ class OnnxModel:
     def _conv(x, w, b, attrs):
         if attrs.get("dilations", [1, 1]) != [1, 1]:
             raise NotImplementedError(f"Conv dilations {attrs['dilations']}")
+        if attrs.get("auto_pad") not in (None, "NOTSET", "SAME_UPPER"):
+            # SAME_LOWER/VALID-with-pads would be silently miscomputed
+            raise NotImplementedError(f"Conv auto_pad {attrs['auto_pad']}")
         stride = attrs.get("strides", [1, 1])
         group = attrs.get("group", 1)
         kh, kw = w.shape[2], w.shape[3]
@@ -198,6 +201,16 @@ class OnnxModel:
 
     @staticmethod
     def _maxpool(x, attrs):
+        # strict oracle: this implements VALID pooling only — reject the
+        # attributes that would otherwise be silently ignored
+        if attrs.get("auto_pad") not in (None, "NOTSET", "VALID"):
+            raise NotImplementedError(f"MaxPool auto_pad {attrs['auto_pad']}")
+        if any(attrs.get("pads", [])):
+            raise NotImplementedError(f"MaxPool pads {attrs['pads']}")
+        if attrs.get("ceil_mode", 0):
+            raise NotImplementedError("MaxPool ceil_mode")
+        if attrs.get("dilations", [1, 1]) not in ([1, 1], [1]):
+            raise NotImplementedError(f"MaxPool dilations {attrs['dilations']}")
         kh, kw = attrs["kernel_shape"]
         sh, sw = attrs.get("strides", attrs["kernel_shape"])
         n, c, h, w = x.shape
@@ -249,6 +262,9 @@ class OnnxModel:
                 r = e / e.sum(axis=attrs.get("axis", -1), keepdims=True)
             elif op == "Slice":
                 starts, ends, axes = a[1], a[2], a[3]
+                if len(a) > 4 and a[4] is not None and any(
+                        int(s) != 1 for s in np.atleast_1d(a[4])):
+                    raise NotImplementedError(f"Slice steps {a[4]}")
                 sl = [slice(None)] * a[0].ndim
                 for s, e, ax in zip(starts, ends, axes):
                     sl[int(ax)] = slice(int(s), int(e))

@@ -384,20 +384,16 @@ def write_onnx_model(output_file: str, flat: dict, model_type: str,
 
 def export_onnx_model(checkpoint_path: str, output_file: str) -> str:
     """Native .npz checkpoint -> .onnx (reference: keras_to_onnx.py)."""
-    import jax
-
     from ..params import pr
-    from ..training.checkpoints import load_checkpoint
-    from ..utils import path_names
+    from ..training.checkpoints import flatten_variables, load_checkpoint
 
     variables, meta = load_checkpoint(checkpoint_path)
-    flat = {}
-    for section in ("params", "batch_stats"):
-        tree = variables.get(section)
-        if tree is None:
-            continue
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            flat[section + "/" + "/".join(path_names(path))] = np.asarray(leaf)
+    # adopt the checkpoint's audio params (as load_native does): a model
+    # trained with e.g. buffer_t=2.0 or use_delta must export its own
+    # n_features/feature_size, not this process's defaults
+    if meta.get("params"):
+        pr.override(meta["params"])
+    flat = flatten_variables(variables)
     return write_onnx_model(
         output_file, flat,
         meta["model_type"], meta["num_classes"],

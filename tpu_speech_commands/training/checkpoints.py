@@ -30,6 +30,18 @@ def _flatten(tree, prefix: str) -> dict[str, np.ndarray]:
     return flat
 
 
+def flatten_variables(variables) -> dict[str, np.ndarray]:
+    """Flatten a {'params': ..., 'batch_stats': ...} tree into the
+    'section/a/b' flat dict used by checkpoints and the exporters (the
+    layout the native runtime and ONNX writer consume)."""
+    flat: dict[str, np.ndarray] = {}
+    for section in ("params", "batch_stats"):
+        tree = variables.get(section)
+        if tree is not None:
+            flat.update(_flatten(tree, section))
+    return flat
+
+
 def _unflatten(flat: dict[str, np.ndarray], prefix: str):
     tree: dict = {}
     pfx = prefix + "/"
