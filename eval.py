@@ -53,7 +53,6 @@ def main(args):
     start = time.time()
     if model_format == "NATIVE":
         from tpu_speech_commands.evaluation import evaluate_accuracy
-        from tpu_speech_commands.models import score_fn  # noqa: F401
 
         variables = predict_fn.variables
         accuracy, confusion = evaluate_accuracy(

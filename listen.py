@@ -37,11 +37,20 @@ def main():
     args = build_parser().parse_args()
     kwargs = {k: v for k, v in vars(args).items()
               if k not in ("dump_model", "output_model_file")}
-    listener = Listener(**kwargs)
 
     if args.dump_model:
+        # dump before constructing the Listener (stream state + jit
+        # wrappers are not needed); only native .npz checkpoints carry the
+        # training metadata this conversion reads (reference dump_model,
+        # listen.py:292-300, likewise requires its training H5)
         if not args.output_model_file:
             raise ValueError("output model file is not specified")
+        if not args.model_path.endswith(".npz"):
+            raise ValueError(
+                "--dump_model reads a training checkpoint (.npz); got "
+                f"{args.model_path} — use tools/model_converter/"
+                "export_model.py to convert other formats"
+            )
         print("Dumping out training model to inference model")
         from tpu_speech_commands.training.checkpoints import (
             load_checkpoint,
@@ -52,6 +61,7 @@ def main():
         save_checkpoint(args.output_model_file, variables, meta)
         sys.exit()
 
+    listener = Listener(**kwargs)
     listener.run()
 
 

@@ -120,6 +120,26 @@ def test_odd_n2_falls_back_to_dense():
     )
 
 
+def test_frame_count_contract_for_odd_hop_rounding():
+    """hop_t=0.03 (hop 480): max_samples framing yields 32 frames but the
+    model/streaming/native contract is n_features=31 — both frontends must
+    emit exactly n_features tail-aligned rows."""
+    from tpu_speech_commands.frontend import Frontend
+
+    p = ListenerParams(hop_t=0.03)
+    n_from_max = 1 + (p.max_samples - p.window_samples) // p.hop_samples
+    assert (n_from_max, p.n_features) == (32, 31)
+
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.standard_normal((4, p.max_samples)).astype(np.float32))
+    xla = np.asarray(Frontend(p)(a))
+    assert xla.shape == (4, p.n_features, p.n_mfcc)
+    fused = make_fused_frontend(p, batch_tile=4, interpret=True)
+    out = np.asarray(fused(a))
+    assert out.shape == (4, p.n_features, p.n_mfcc)
+    np.testing.assert_allclose(out, xla, rtol=1e-4, atol=1e-4)
+
+
 def test_dft8_butterfly_matches_fft():
     from tpu_speech_commands.ops.pallas_frontend import _dft8_real
 

@@ -132,7 +132,9 @@ class Frontend:
         self._sin = jnp.asarray(sin)
         self._filt = jnp.asarray(filt)
         self._dct_t = jnp.asarray(dct_t_matrix(p.n_filt))
-        self.n_frames = 1 + (p.max_samples - p.window_samples) // p.hop_samples
+        # output frame count == the model contract (__call__ tail-trims
+        # max_samples framing to it)
+        self.n_frames = p.n_features
 
     def power_from_frames(self, frames: jax.Array) -> jax.Array:
         """(..., W) frames -> (..., n_fft//2+1) power spectrum."""
@@ -166,6 +168,13 @@ class Frontend:
             audio = audio.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         frames = frame_signal(audio, p.window_samples, p.hop_samples)
         feats = self.features_from_frames(frames)
+        # the model/streaming/native contract is n_features rows (derived
+        # from buffer_samples); max_samples framing can yield one extra
+        # frame for some hop/window roundings — keep the tail-aligned rows
+        # (command sits at the buffer tail, pad_audio semantics).  The
+        # reference errors on such configs (fixed Keras Input shape vs
+        # audio_to_feature's max_samples framing, data_utils.py:61-86).
+        feats = feats[..., -p.n_features :, :]
         if p.use_delta:
             feats = add_deltas(feats)
         return feats

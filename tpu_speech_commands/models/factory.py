@@ -31,6 +31,8 @@ def get_model(model_type: str, num_classes: int, dtype=jnp.float32,
     exposed by its model.py); CNNs reject num_layers != 1."""
     if is_cnn(model_type) and num_layers != 1:
         raise ValueError(f"num_layers only applies to RNN models, not {model_type}")
+    if num_layers < 1:
+        raise ValueError(f"num_layers must be >= 1, got {num_layers}")
     if model_type == "simple_cnn":
         return SimpleCNN(num_classes=num_classes, dtype=dtype,
                          bn_momentum=bn_momentum)

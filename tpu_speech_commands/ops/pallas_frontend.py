@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..frontend import numpy_ref
-from ..frontend.dsp import bark_matrix, dft_matrices, mel_matrix
+from ..frontend.dsp import bark_matrix, dct_t_matrix, dft_matrices, mel_matrix
 from ..params import ListenerParams, pr
 
 LOG_EPS = numpy_ref.LOG_EPS
@@ -56,7 +56,7 @@ def _padded_matrices(params_key, feature_type: str):
     cos_p[:, :n_bins] = cos
     sin_p[:, :n_bins] = sin
     filt_p[:n_bins] = filt
-    dct_t = numpy_ref.dct_matrix(p.n_filt).T.astype(np.float32)
+    dct_t = dct_t_matrix(p.n_filt)
     return cos_p, sin_p, filt_p, dct_t
 
 
@@ -152,7 +152,7 @@ def _ct_matrices(params_key, feature_type: str):
     filt_nyq = np.zeros((1, width), np.float32)
     filt_nyq[0, :n_filt] = filt[n_fft // 2]
     filt_nyq[0, n_filt] = 1.0
-    dct_t = numpy_ref.dct_matrix(n_filt).T.astype(np.float32)
+    dct_t = dct_t_matrix(n_filt)
     return ct_cos, ct_sin, e2a, e2b, filt_half, filt_nyq, dct_t
 
 
@@ -240,8 +240,11 @@ def make_fused_frontend(
                 f"and window_samples == n_fft; got window={p.window_samples} "
                 f"n_fft={p.n_fft}"
             )
-        return _make_ct_frontend(p, feature_type, batch_tile, interpret,
-                                 fast_math)
+        return _trim_to_contract(
+            _make_ct_frontend(p, feature_type, batch_tile, interpret,
+                              fast_math),
+            p,
+        )
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
     window, hop = p.window_samples, p.hop_samples
     n_samples = p.max_samples
@@ -316,7 +319,21 @@ def make_fused_frontend(
             interpret=interpret,
         )(gain, audio, *matrices)
 
-    return frontend
+    return _trim_to_contract(frontend, p)
+
+
+def _trim_to_contract(frontend, p: ListenerParams):
+    """Keep the tail-aligned n_features frames (the model/streaming/native
+    contract) when max_samples framing yields extra rows for this
+    hop/window rounding — mirrors frontend.dsp.Frontend.__call__."""
+    n_frames = 1 + (p.max_samples - p.window_samples) // p.hop_samples
+    if n_frames == p.n_features:
+        return frontend
+
+    def trimmed(audio: jax.Array, gain=None) -> jax.Array:
+        return frontend(audio, gain)[:, -p.n_features :, :]
+
+    return trimmed
 
 
 def _decode_audio(audio_ref, gain_ref):

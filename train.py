@@ -62,17 +62,26 @@ def main(args):
         # Multi-chip sticks with the XLA frontend — a Pallas custom call
         # does not auto-partition across a sharded batch.
         pipeline_frontend = frontend
-        import jax as _jax
-
         from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
 
-        if (_jax.default_backend() == "tpu" and len(_jax.devices()) == 1
+        if (jax.default_backend() == "tpu" and len(jax.devices()) == 1
                 and _ct_eligible(pr) and args.batch_size % 16 == 0):
             from tpu_speech_commands.ops import make_fused_frontend
 
-            pipeline_frontend = make_fused_frontend(
+            fused = make_fused_frontend(
                 pr, feature_type=args.feature_type, batch_tile=16
             )
+            if pr.use_delta:
+                # the fused kernel leaves deltas to the caller
+                # (pallas_frontend.py make_fused_frontend docstring); the
+                # XLA Frontend applies them internally
+                from tpu_speech_commands.frontend.dsp import add_deltas
+
+                pipeline_frontend = lambda a, gain=None: add_deltas(  # noqa: E731
+                    fused(a, gain)
+                )
+            else:
+                pipeline_frontend = fused
         device_pipeline = make_audio_pipeline(
             pipeline_frontend, args.model_type, noise_bank
         )
@@ -86,7 +95,9 @@ def main(args):
             frontend=frontend,
         )
 
-    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    # ceil: the trainer's staged scan pads the final batch and runs it
+    # (ceil(n/b) steps/epoch), so floor would end LR decay before training
+    steps_per_epoch = max(1, -(-len(train_ds) // args.batch_size))
     decay_steps = steps_per_epoch * args.epochs
     tx = get_optimizer(
         args.optimizer,
