@@ -22,9 +22,13 @@ def main():
             if not line:
                 continue
             record = json.loads(line)
-            if args.path_key in record:
-                record[args.path_key] = record[args.path_key].replace(
-                    args.old_prefix, args.new_prefix, 1
+            # anchored prefix rewrite: str.replace would corrupt paths that
+            # merely CONTAIN old_prefix mid-path
+            if args.path_key in record and record[args.path_key].startswith(
+                args.old_prefix
+            ):
+                record[args.path_key] = (
+                    args.new_prefix + record[args.path_key][len(args.old_prefix):]
                 )
                 count += 1
             fout.write(json.dumps(record) + "\n")

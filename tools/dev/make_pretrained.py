@@ -11,9 +11,13 @@ Trains each model on the deterministic synthetic direction dataset
 checkpoint plus the on-device .tscm blob, then verifies every artifact
 classifies the checked-in example/*.wav clips correctly.
 
-Run from the repo root (uses the default JAX platform — TPU if present):
+Run from the repo root:
 
     python tools/dev/make_pretrained.py
+
+Training runs in subprocesses (TPU if present); THIS process verifies on
+CPU — the TPU is single-tenant, so a parent holding the chip would make
+the next training subprocess block silently (CLAUDE.md gotcha).
 """
 from __future__ import annotations
 
@@ -66,8 +70,10 @@ def verify_on_examples(model_path: str) -> float:
     )
     feats, labels = [], []
     for name in wavs:
-        audio = load_wav(os.path.join(REPO, "example", name))
-        audio = np.pad(audio, (0, max(0, pr.max_samples - len(audio))))[: pr.max_samples]
+        audio = load_wav(os.path.join(REPO, "example", name))[: pr.max_samples]
+        # left-zero-pad: the framework-wide contract (command at the buffer
+        # tail — data/dataset.py load_audio_batch, numpy_ref vectorize)
+        audio = np.pad(audio, (max(0, pr.max_samples - len(audio)), 0))
         feats.append(np.asarray(frontend(audio)))
         labels.append(CLASSES.index(name.rsplit("_", 1)[0]))
     scores = predict_fn(np.stack(feats))
@@ -84,6 +90,12 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "pretrained"))
     ap.add_argument("--samples_per_class", type=int, default=80)
     args = ap.parse_args()
+
+    # single-tenant TPU: the training subprocesses own the chip; verify
+    # here on CPU or the NEXT train subprocess blocks at 0% CPU forever
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from tpu_speech_commands.data.synthetic import make_synthetic_dataset
     from tpu_speech_commands.export.native_format import export_native
@@ -110,7 +122,10 @@ def main():
             results[model_type] = {"npz": acc_npz, "tscm": acc_tscm}
 
     print(json.dumps(results))
-    bad = [m for m, r in results.items() if r["npz"] < 1.0]
+    # gate EVERY shipped artifact; tscm may be None only when libtsc.so
+    # is not built in this environment (verification skipped, not failed)
+    bad = [m for m, r in results.items()
+           if r["npz"] < 1.0 or (r["tscm"] is not None and r["tscm"] < 1.0)]
     if bad:
         raise SystemExit(f"models below 100% on example wavs: {bad}")
 

@@ -25,13 +25,12 @@ def main():
     parser.add_argument("--batch_per_device", type=int, default=2048)
     parser.add_argument("--k_inner", type=int, default=8)
     parser.add_argument("--model_type", default="simple_cnn")
-    parser.add_argument("--use_pallas", action="store_true", default=True)
+    parser.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="--no-use_pallas benches the XLA frontend")
     args = parser.parse_args()
 
     import jax
-
-    if os.environ.get("JAX_PLATFORMS"):  # axon plugin ignores the env var
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from tpu_speech_commands.frontend import Frontend

@@ -78,8 +78,9 @@ def main():
 
     n_slots = args.slots
     states = init_stream_state(pr, n_streams=n_slots)
-    decoders = [ThresholdDecoder(pr.threshold_config, pr.threshold_center)
-                for _ in range(n_slots)]
+    # one decoder for all slots: it is a stateless CDF lookup table (only
+    # the per-slot TriggerDetector carries stream state)
+    decoder = ThresholdDecoder(pr.threshold_config, pr.threshold_center)
     triggers = [TriggerDetector(args.chunk_size, classes, args.sensitivity,
                                 args.trigger_level) for _ in range(n_slots)]
 
@@ -132,7 +133,7 @@ def main():
                 idx = int(scores[i].argmax())
                 conf = float(scores[i, idx])
                 if idx != 0:
-                    conf = decoders[i].decode(conf)
+                    conf = decoder.decode(conf)
                 if triggers[i].update(idx, conf):
                     print(f"[tick {tick}] slot {i} ({slot_name[i]}): "
                           f"command '{classes[idx]}' detected!")

@@ -203,8 +203,16 @@ class Listener:
             assert wf.getnchannels() == 1, "only support mono channel"
             while True:
                 data = wf.readframes(self.chunk_size)
-                if len(data) < self.chunk_size * self.pr.sample_depth:
+                if not data:
                     break
+                if len(data) < self.chunk_size * self.pr.sample_depth:
+                    # the reference feeds the ragged tail through
+                    # update_vectors (listen.py:403); the fixed-shape jit
+                    # streamer needs full chunks, so zero-pad the final
+                    # partial chunk instead of dropping the wav tail
+                    data = data + b"\x00" * (
+                        self.chunk_size * self.pr.sample_depth - len(data)
+                    )
                 scores = self.process_chunk(data)
                 self.handle_scores(scores)
                 if realtime:
