@@ -129,7 +129,11 @@ class NativeModel:
             feats.size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
-        assert got == self.num_classes, got
+        if got != self.num_classes:
+            raise RuntimeError(
+                f"native predict failed (rc={got}) — corrupt model or "
+                f"wrong feature shape {feats.shape}"
+            )
         return out
 
     def __del__(self):
