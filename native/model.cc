@@ -543,6 +543,16 @@ std::vector<float> rnn_forward(const NativeModel& m,
 }  // namespace
 
 std::vector<float> NativeModel::predict(const std::vector<float>& features) const {
+  // validate BEFORE the kernels index into the buffer — a short vector
+  // would be read out of bounds (the apps and the C API size the input
+  // from the model header, but hand-rolled callers may not)
+  const size_t width = use_delta ? 2u * n_mfcc : static_cast<size_t>(n_mfcc);
+  const size_t expected = static_cast<size_t>(n_features) * width;
+  if (features.size() != expected)
+    throw std::runtime_error(
+        "predict: expected " + std::to_string(expected) + " features (" +
+        std::to_string(n_features) + " x " + std::to_string(width) +
+        "), got " + std::to_string(features.size()));
   if (model_type == "simple_cnn") return cnn_forward(*this, features, false);
   if (model_type == "simple_cnn_lite") return cnn_forward(*this, features, true);
   if (model_type == "simple_gru") return rnn_forward(*this, features, false);

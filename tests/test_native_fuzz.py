@@ -93,3 +93,17 @@ def test_fuzz_header_fields(tmp_path):
         p.write_bytes(data)
         with pytest.raises(RuntimeError):
             NativeModel(str(p))
+
+
+def test_predict_rejects_wrong_feature_count(blob, tmp_path):
+    """A short/oversized feature vector must raise, not be read past its
+    end by the RNN/CNN kernels (model.cc predict validates size first)."""
+    from tpu_speech_commands.native_binding import NativeModel
+
+    p = tmp_path / "ok.tscm"
+    p.write_bytes(blob)
+    m = NativeModel(str(p))
+    with pytest.raises(RuntimeError):
+        m.predict(np.zeros((7, 7), np.float32))
+    with pytest.raises(RuntimeError):
+        m.predict(np.zeros((31, 20), np.float32))
