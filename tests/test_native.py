@@ -141,6 +141,38 @@ def test_native_apps_run(tmp_path, audio):
     assert out.count("\n") >= len(audio) // 1024
 
 
+def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
+    """A multi-component threshold_config must reach the C++ decoder (the
+    loader keeps the whole mixture, not just the first pair — matching
+    the python Listener); the stream app must run and decode with it."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(1))
+    meta_params = dict(pr.to_dict(), threshold_config=[[6.0, 4.0], [2.0, 1.0]])
+    ckpt = str(tmp_path / "mix.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn_lite", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": meta_params,
+    })
+    blob = str(tmp_path / "mix.tscm")
+    export_native(ckpt, blob)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    stream_app = os.path.join(REPO, "native", "build", "speech_commands_stream")
+    out = subprocess.run(
+        [stream_app, "--model", blob, "--wav", wav],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert out.count("\n") >= len(audio) // 1024
+
+
 def test_alsa_app_compiles(build_native):
     """The live-mic app must build everywhere: against real libasound when
     present, else as an object-only compile check vs compat/alsa_stub."""
