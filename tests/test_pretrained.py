@@ -20,10 +20,9 @@ PRETRAINED = os.path.join(REPO, "pretrained")
 CLASSES = ["background", "left", "right", "up", "down"]
 
 ARTIFACTS = [
-    "direction_simple_cnn_lite.npz",
-    "direction_simple_gru.npz",
-    "direction_simple_cnn_lite.tscm",
-    "direction_simple_gru.tscm",
+    f"direction_{m}.{ext}"
+    for m in ("simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm")
+    for ext in ("npz", "tscm")
 ]
 
 

@@ -34,7 +34,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
-MODELS = ["simple_cnn_lite", "simple_gru"]
+DEFAULT_MODELS = ["simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"]
 CLASSES = ["background", "left", "right", "up", "down"]
 
 
@@ -89,6 +89,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=os.path.join(REPO, "pretrained"))
     ap.add_argument("--samples_per_class", type=int, default=80)
+    ap.add_argument("--models", nargs="+", default=DEFAULT_MODELS,
+                    choices=DEFAULT_MODELS)
     args = ap.parse_args()
 
     # single-tenant TPU: the training subprocesses own the chip; verify
@@ -107,7 +109,7 @@ def main():
             data_dir, CLASSES, samples_per_class=args.samples_per_class, seed=1
         )
         results = {}
-        for model_type in MODELS:
+        for model_type in args.models:
             ckpt = train_one(model_type, data_dir, tmp)
             dest = os.path.join(args.out, f"direction_{model_type}.npz")
             shutil.copy(ckpt, dest)
