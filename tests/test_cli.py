@@ -29,9 +29,7 @@ def _train_args(tmp_path, data_root, **over):
     flat = []
     for k, v in argv.items():
         flat += [k, v] if v is not None else [k]
-    return train_cli.build_parser().parse_args(
-        [x for x in flat if x is not None]
-    )
+    return train_cli.build_parser().parse_args(flat)
 
 
 def test_train_eval_cli_roundtrip(tmp_path, capsys):

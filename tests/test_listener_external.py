@@ -46,7 +46,7 @@ def test_listener_with_tflite_model(tmp_path, capsys):
     assert listener.model_format == "TFLITE"
     listener.run_wav()
     out = capsys.readouterr().out
-    assert out.count("\n") == len(audio) // 1024
+    assert out.count("\n") == -(-len(audio) // 1024)
 
     # external path must agree with the native path on the same wav
     # (fresh instances: run_wav above already advanced `listener`'s state)
@@ -101,7 +101,7 @@ def test_listener_with_onnx_model(tmp_path, capsys):
     assert listener.model_format == "ONNX"
     listener.run_wav()
     out = capsys.readouterr().out
-    assert out.count("\n") == len(audio) // 1024
+    assert out.count("\n") == -(-len(audio) // 1024)
 
 
 def _ckpt_and_wav(tmp_path, model_type, command):

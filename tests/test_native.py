@@ -336,13 +336,15 @@ def test_native_stacked_rnn_matches_jax(model_type, n_layers, tmp_path):
     variables = model.init({"params": jax.random.PRNGKey(5)},
                            jnp.zeros((2, 30, 20)), train=False)
 
-    class FakeState:
-        params = variables["params"]
-        batch_stats = None
-        tx = None
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.training import TrainState
 
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=get_optimizer("adam", 1e-3, decay_type=None), batch_stats=None,
+    )
     ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, FakeState, {
+    save_checkpoint(ckpt, state, {
         "model_type": model_type, "num_classes": len(CLASSES),
         "classes": CLASSES, "params": pr.to_dict(),
     })

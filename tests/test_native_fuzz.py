@@ -64,11 +64,7 @@ def test_fuzz_byte_flips(blob, tmp_path):
         try:
             m = NativeModel(str(p))
             # a model that loads must also predict without crashing
-            feats = np.zeros((30, 20), np.float32).reshape(-1)
-            try:
-                m.predict(feats.reshape(30, 20))
-            except RuntimeError:
-                pass
+            m.predict(np.zeros((30, 20), np.float32))
         except RuntimeError:
             pass
 

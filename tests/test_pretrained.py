@@ -26,22 +26,24 @@ ARTIFACTS = [
 ]
 
 
-def _example_features():
+@pytest.fixture(scope="module")
+def example_features():
     frontend = Frontend(pr)
     wavs = sorted(
         f for f in os.listdir(os.path.join(REPO, "example")) if f.endswith(".wav")
     )
     feats, labels = [], []
     for name in wavs:
-        audio = load_wav(os.path.join(REPO, "example", name))
-        audio = np.pad(audio, (0, max(0, pr.max_samples - len(audio))))
-        feats.append(np.asarray(frontend(audio[: pr.max_samples])))
+        audio = load_wav(os.path.join(REPO, "example", name))[: pr.max_samples]
+        # left-zero-pad: the framework-wide contract (command at buffer tail)
+        audio = np.pad(audio, (max(0, pr.max_samples - len(audio)), 0))
+        feats.append(np.asarray(frontend(audio)))
         labels.append(CLASSES.index(name.rsplit("_", 1)[0]))
     return np.stack(feats), np.asarray(labels)
 
 
 @pytest.mark.parametrize("artifact", ARTIFACTS)
-def test_pretrained_classifies_examples(artifact):
+def test_pretrained_classifies_examples(artifact, example_features):
     path = os.path.join(PRETRAINED, artifact)
     if not os.path.exists(path):
         pytest.skip(f"{artifact} not present")
@@ -49,7 +51,7 @@ def test_pretrained_classifies_examples(artifact):
         os.path.join(REPO, "native", "build", "libtsc.so")
     ):
         pytest.skip("native runtime not built")
-    feats, labels = _example_features()
+    feats, labels = example_features
     predict_fn, _ = load_inference_model(path)
     preds = np.argmax(np.asarray(predict_fn(feats)), axis=-1)
     assert (preds == labels).all(), [
