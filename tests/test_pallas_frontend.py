@@ -53,7 +53,7 @@ def test_fast_math_stays_close(audio_batch):
 
 def test_fused_rejects_bad_batch(audio_batch):
     fused = make_fused_frontend(ListenerParams(), batch_tile=8, interpret=True)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         fused(jnp.asarray(audio_batch[:5]))
 
 

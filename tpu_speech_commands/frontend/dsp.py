@@ -133,7 +133,17 @@ class Frontend:
         self._filt = jnp.asarray(filt)
         self._dct_t = jnp.asarray(dct_t_matrix(p.n_filt))
         # output frame count == the model contract (__call__ tail-trims
-        # max_samples framing to it)
+        # max_samples framing to it); a config where max_samples framing
+        # yields FEWER frames than the contract cannot be satisfied
+        frames_from_max = (
+            1 + (p.max_samples - p.window_samples) // p.hop_samples
+            if p.max_samples >= p.window_samples else 0
+        )
+        if frames_from_max < p.n_features:
+            raise ValueError(
+                f"config yields {frames_from_max} frames from max_samples "
+                f"but the model contract needs n_features={p.n_features}"
+            )
         self.n_frames = p.n_features
 
     def power_from_frames(self, frames: jax.Array) -> jax.Array:

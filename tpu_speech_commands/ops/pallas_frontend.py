@@ -29,7 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..frontend import numpy_ref
-from ..frontend.dsp import bark_matrix, dct_t_matrix, dft_matrices, mel_matrix
+from ..frontend.dsp import (
+    bark_matrix,
+    dct_t_matrix,
+    dft_matrices,
+    mel_matrix,
+    safe_log,
+)
 from ..params import ListenerParams, pr
 
 LOG_EPS = numpy_ref.LOG_EPS
@@ -46,8 +52,10 @@ def _padded_matrices(params_key, feature_type: str):
     cos, sin = dft_matrices(p.window_samples, p.n_fft)
     if feature_type == "mfcc":
         filt = mel_matrix(p.sample_rate, p.n_filt, p.n_fft_bins)
-    else:
+    elif feature_type == "bark":
         filt = bark_matrix(p.sample_rate, p.n_filt, p.n_fft)
+    else:
+        raise ValueError(f"unknown feature_type: {feature_type}")
     n_bins = cos.shape[1]
     padded = _round_up(n_bins, 128)
     cos_p = np.zeros((cos.shape[0], padded), np.float32)
@@ -140,8 +148,10 @@ def _ct_matrices(params_key, feature_type: str):
 
     if feature_type == "mfcc":
         filt = mel_matrix(p.sample_rate, p.n_filt, p.n_fft_bins)
-    else:
+    elif feature_type == "bark":
         filt = bark_matrix(p.sample_rate, p.n_filt, p.n_fft)
+    else:
+        raise ValueError(f"unknown feature_type: {feature_type}")
     width = _round_up(n_filt + 1, LANES)
     filt_half = np.zeros((n2 * CT_J, width), np.float32)
     for s in range(n2):
@@ -222,9 +232,12 @@ def make_fused_frontend(
     B must be a multiple of batch_tile.  Deltas (use_delta) are applied
     outside the kernel by the caller (frontend.dsp.add_deltas).
 
-    fast_math runs the DFT matmuls (the FLOPs-dominant stage) in bfloat16
-    with float32 accumulation — ~|MFCC| error grows from ~1e-4 to ~1e-2
-    (still far below feature variance); mel/DCT stay float32.
+    fast_math runs the DFT stage in bfloat16: the matmuls accumulate in
+    float32 (preferred_element_type), but on the 'ct' path the stage-1
+    plane sums (butterfly/coefficient adds) are elementwise bf16 ops, so
+    CT error is somewhat above the dense path's — measured ~|MFCC| error
+    grows from ~1e-4 to ~1e-2 either way (still far below feature
+    variance); mel/DCT stay float32.
 
     dft_mode: 'dense' = one big (W, bins) DFT matmul pair; 'ct' = two-stage
     Cooley-Tukey GEMM DFT (~2.9x fewer MXU cycles, needs n_fft = n2*128 and
@@ -265,14 +278,11 @@ def make_fused_frontend(
         im = jnp.dot(fr, sin_ref[:].astype(dft_dtype),
                      preferred_element_type=jnp.float32)
         power = (re * re + im * im) * inv_fft
-        mels = jnp.log(
-            jnp.clip(
-                jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32),
-                LOG_EPS, None,
-            )
+        mels = safe_log(
+            jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
         )
         coeffs = jnp.dot(mels, dct_ref[:], preferred_element_type=jnp.float32)
-        energy = jnp.log(jnp.clip(jnp.sum(power, -1, keepdims=True), LOG_EPS, None))
+        energy = safe_log(jnp.sum(power, -1, keepdims=True))
         out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
         # (T*TB, F) frame-major -> (TB, T, F)
         out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
@@ -281,9 +291,10 @@ def make_fused_frontend(
 
     def frontend(audio: jax.Array, gain=None) -> jax.Array:
         batch = audio.shape[0]
-        assert batch % batch_tile == 0, (
-            f"batch {batch} not a multiple of batch_tile {batch_tile}"
-        )
+        if batch % batch_tile != 0:  # not assert: python -O must still fail
+            raise ValueError(
+                f"batch {batch} not a multiple of batch_tile {batch_tile}"
+            )
         gain = _gain_smem(gain)
         grid = (batch // batch_tile,)
         flops_tile = (
@@ -313,7 +324,8 @@ def make_fused_frontend(
             out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
-                bytes_accessed=audio.size * 4 + batch * n_frames * n_mfcc * 4,
+                bytes_accessed=audio.size * audio.dtype.itemsize
+                + batch * n_frames * n_mfcc * 4,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
@@ -326,7 +338,17 @@ def _trim_to_contract(frontend, p: ListenerParams):
     """Keep the tail-aligned n_features frames (the model/streaming/native
     contract) when max_samples framing yields extra rows for this
     hop/window rounding — mirrors frontend.dsp.Frontend.__call__."""
-    n_frames = 1 + (p.max_samples - p.window_samples) // p.hop_samples
+    n_frames = (
+        1 + (p.max_samples - p.window_samples) // p.hop_samples
+        if p.max_samples >= p.window_samples else 0
+    )
+    if n_frames < p.n_features:
+        raise ValueError(
+            f"config yields {n_frames} frames from max_samples but the "
+            f"model contract needs n_features={p.n_features} "
+            f"(max_samples={p.max_samples}, window={p.window_samples}, "
+            f"hop={p.hop_samples})"
+        )
     if n_frames == p.n_features:
         return frontend
 
@@ -471,7 +493,7 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
             jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
             + (xnyq * xnyq) * fnyq_ref[:]
         )
-        logs = jnp.log(jnp.clip(mels_e, LOG_EPS, None))
+        logs = safe_log(mels_e)
         coeffs = jnp.dot(logs[:, :n_filt], dct_ref[:],
                          preferred_element_type=jnp.float32)
         out = jnp.concatenate(
@@ -491,9 +513,10 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
 
     def frontend(audio: jax.Array, gain=None) -> jax.Array:
         batch = audio.shape[0]
-        assert batch % batch_tile == 0, (
-            f"batch {batch} not a multiple of batch_tile {batch_tile}"
-        )
+        if batch % batch_tile != 0:  # not assert: python -O must still fail
+            raise ValueError(
+                f"batch {batch} not a multiple of batch_tile {batch_tile}"
+            )
         gain = _gain_smem(gain)
         grid = (batch // batch_tile,)
         flops_tile = (
@@ -530,7 +553,8 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
             out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
-                bytes_accessed=audio.size * 4 + batch * n_frames * n_mfcc * 4,
+                bytes_accessed=audio.size * audio.dtype.itemsize
+                + batch * n_frames * n_mfcc * 4,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
