@@ -109,6 +109,22 @@ def test_lr_plateau_reduces_lr(tmp_path):
     assert trainer._current_lr() == pytest.approx(5e-3)
 
 
+def test_lr_plateau_reduction_affects_updates():
+    """The scaled hyperparam must change the EFFECTIVE update, not just
+    the logged value — inject_hyperparams over a schedule would silently
+    re-evaluate the original LR every step (the bug this guards)."""
+    import jax.numpy as jnp
+
+    tx = get_optimizer("sgd", 0.1, decay_type=None, injectable=True)
+    params = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    st.hyperparams["learning_rate"] = jnp.asarray(0.05)
+    grads = {"w": jnp.ones(3)}
+    updates, st2 = tx.update(grads, st, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.05, rtol=1e-6)
+    assert float(st2.hyperparams["learning_rate"]) == pytest.approx(0.05)
+
+
 def test_training_on_8_device_mesh(tmp_path):
     assert len(jax.devices()) == 8
     mesh = make_mesh()  # all 8 devices on the data axis

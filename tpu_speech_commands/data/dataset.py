@@ -289,7 +289,11 @@ def batch_iterator(
             if drop_remainder:
                 return
             if pad_final:
+                # repeat real rows rather than zero-pad: padded rows are
+                # masked out of loss/metrics but still enter BatchNorm
+                # batch statistics, and zero rows would skew them
                 pad = batch_size - valid
-                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                y = np.concatenate([y, np.zeros(pad, y.dtype)])
+                rep = np.arange(pad) % max(valid, 1)
+                x = np.concatenate([x, x[rep]])
+                y = np.concatenate([y, y[rep]])
         yield x, y, valid

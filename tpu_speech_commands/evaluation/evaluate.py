@@ -25,7 +25,7 @@ from ..parallel import make_mesh, replicated
 SCAN_STAGING_LIMIT_BYTES = 2 << 30
 
 
-def make_confusion_eval_step(model, num_classes: int, has_batch_stats: bool):
+def make_confusion_eval_step(model, num_classes: int):
     """(variables, x, y, mask) -> (correct_sum, count, confusion[C, C])."""
 
     def eval_step(variables, x, y, mask):
@@ -39,12 +39,12 @@ def make_confusion_eval_step(model, num_classes: int, has_batch_stats: bool):
     return eval_step
 
 
-def make_confusion_eval_scan(model, num_classes: int, has_batch_stats: bool):
+def make_confusion_eval_scan(model, num_classes: int):
     """Whole-set variant: (variables, x[Nb,B,...], y[Nb,B], mask[Nb,B]) ->
     (correct_sum, count, confusion) in ONE dispatch.  On the tunneled axon
     platform a per-batch loop is round-trip-bound (~25 batches/s); the
     scan runs the entire eval set per call."""
-    step = make_confusion_eval_step(model, num_classes, has_batch_stats)
+    step = make_confusion_eval_step(model, num_classes)
 
     def eval_scan(variables, x, y, mask):
         def body(acc, batch):
@@ -75,7 +75,6 @@ def evaluate_accuracy(
     result/confusion_matrix.png like the reference (eval.py:249-254)."""
     mesh = mesh if mesh is not None else make_mesh()
     num_classes = len(class_names)
-    has_bs = "batch_stats" in variables
     repl = replicated(mesh)
     variables = jax.device_put(variables, repl)
 
@@ -104,7 +103,7 @@ def evaluate_accuracy(
     )
     put = partial(jax.device_put, device=scan_data)
     eval_scan = jax.jit(
-        make_confusion_eval_scan(model, num_classes, has_bs),
+        make_confusion_eval_scan(model, num_classes),
         in_shardings=(repl, scan_data, scan_data, scan_data),
         out_shardings=repl,
     )

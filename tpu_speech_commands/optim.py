@@ -6,8 +6,8 @@ optax equivalents with Keras-default hyperparameters:
   500 steps, then lr, lr/10 after 90%, lr/100 after 100%)
 - optimizers: adam | rmsprop (rho .9) | sgd, all with Keras epsilon=1e-7
 - weight averaging: ema | swa | lookahead (reference plumbs these via
-  tensorflow-addons but invokes with None; lookahead maps to
-  optax.lookahead, ema/swa are tracked as parameter averages by the trainer)
+  tensorflow-addons but invokes with None; all three are implemented by
+  training/averaging.WeightAverager — the optimizer chain is untouched)
 """
 from __future__ import annotations
 
@@ -44,8 +44,11 @@ def get_lr_scheduler(learning_rate: float, decay_type: str | None, decay_steps: 
         )
     if decay_type == "piecewise_constant":
         # warmup stage boundaries [500, 0.9*steps, steps] with values
-        # [1e-3, lr, lr/10, lr/100] (model_utils.py:31-34)
-        boundaries = [500, int(decay_steps * 0.9), decay_steps]
+        # [1e-3, lr, lr/10, lr/100] (model_utils.py:31-34).  Boundaries
+        # must be monotonic for join_schedules (Keras first-match
+        # semantics); clamp so short runs keep the 500-step warmup.
+        boundaries = sorted({500, max(int(decay_steps * 0.9), 501),
+                             max(decay_steps, 502)})
         values = [1e-3, learning_rate, learning_rate / 10.0, learning_rate / 100.0]
         schedules = [optax.constant_schedule(v) for v in values]
         return optax.join_schedules(schedules, boundaries)
@@ -76,9 +79,12 @@ def get_optimizer(
             learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-7
         )
     elif optim_type == "rmsprop":
+        # eps_in_sqrt=False: Keras RMSprop applies eps OUTSIDE the sqrt
+        # (g / (sqrt(nu) + eps)); optax's default (inside) would floor the
+        # denominator at sqrt(eps) ~ 3e-4, ~3000x the Keras 1e-7
         make = lambda learning_rate: optax.rmsprop(
             learning_rate=learning_rate, decay=0.9, eps=1e-7, momentum=0.0,
-            centered=False,
+            centered=False, eps_in_sqrt=False,
         )
     elif optim_type == "sgd":
         make = lambda learning_rate: optax.sgd(
@@ -87,7 +93,15 @@ def get_optimizer(
     else:
         raise ValueError("Unsupported optimizer type")
 
-    tx = optax.inject_hyperparams(make)(learning_rate=lr) if injectable else make(lr)
+    if injectable:
+        # pass the RAW float when no decay schedule is active: a float
+        # hyperparam lives in (mutable) optimizer state, so the trainer's
+        # plateau callback can scale it; a schedule callable would be
+        # re-evaluated every step, silently reverting the reduction
+        inj_lr = learning_rate if decay_type in (None, "none", "") else lr
+        tx = optax.inject_hyperparams(make)(learning_rate=inj_lr)
+    else:
+        tx = make(lr)
 
     # average_type (ema/swa/lookahead) is implemented by the trainer's
     # WeightAverager (training/averaging.py) rather than an optimizer wrap —

@@ -130,11 +130,19 @@ class CheckpointManager:
         save_checkpoint(path, state, self.meta)
         return path
 
+    @staticmethod
+    def _by_recency(paths):
+        """Newest-last by modification time — lexicographic filename order
+        would keep stale checkpoints after --resume restarts the epoch
+        counter (ep001 sorts before a previous run's ep020) and mis-orders
+        ep1000 vs ep999."""
+        return sorted(paths, key=os.path.getmtime)
+
     def _clean(self):
-        ckpts = sorted(glob(os.path.join(self.log_dir, "ep*.npz")))
+        ckpts = self._by_recency(glob(os.path.join(self.log_dir, "ep*.npz")))
         for stale in ckpts[: -self.max_keep]:
             os.remove(stale)
 
     def latest(self) -> str | None:
-        ckpts = sorted(glob(os.path.join(self.log_dir, "ep*.npz")))
+        ckpts = self._by_recency(glob(os.path.join(self.log_dir, "ep*.npz")))
         return ckpts[-1] if ckpts else None

@@ -189,8 +189,9 @@ class Trainer:
         self.state = jax.device_put(state, st_shard)
         self._st_shard = st_shard
 
-        # EMA/SWA parameter averaging (model_utils.py:61-100 equivalent;
-        # 'lookahead' is handled inside the optimizer, see optim.py)
+        # EMA/SWA/lookahead parameter averaging — ALL implemented by
+        # training/averaging.WeightAverager (model_utils.py:61-100
+        # equivalent); the optimizer chain is untouched
         self.averager = None
         if average_type and average_type.lower() in ("ema", "swa", "lookahead"):
             from .averaging import WeightAverager
@@ -325,7 +326,8 @@ class Trainer:
         # prepare entirely on the host (numpy) — an eager jnp reshape here
         # would be a separate device dispatch (tunnel round-trip) per batch
         x = np.asarray(x)
-        if self.device_pipeline is None and is_cnn(self.model_type):
+        if self.device_pipeline is None and is_cnn(self.model_type) \
+                and x.ndim == 3:
             x = x[..., None]
         mask = (np.arange(len(y)) < valid).astype(np.float32)
         put = partial(jax.device_put, device=self._data_sharding)
@@ -355,17 +357,31 @@ class Trainer:
         n = len(ds)
         n_pad = max(1, -(-n // b)) * b
         x = np.asarray(ds.x, np.float32)
-        if self.device_pipeline is None and is_cnn(self.model_type):
+        if self.device_pipeline is None and is_cnn(self.model_type) and x.ndim == 3:
             x = x[..., None]
         x_all = np.zeros((n_pad,) + x.shape[1:], np.float32)
         x_all[:n] = x
         y_all = np.zeros(n_pad, np.int32)
         y_all[:n] = np.asarray(ds.y, np.int32)
+        if n_pad > n and n > 0:
+            # pad with REPEATED real rows, not zeros: pad rows are masked
+            # out of loss/metrics but still enter BatchNorm batch stats
+            # (model.apply sees the whole batch) — zero rows would skew
+            # the running stats the eval pass uses.  The reference's
+            # Keras fit runs a ragged final batch with no pads at all.
+            rep = np.arange(n_pad - n) % n
+            x_all[n:] = x_all[rep]
+            y_all[n:] = y_all[rep]
         m_all = np.zeros(n_pad, np.float32)
         m_all[:n] = 1.0
         put = partial(jax.device_put, device=self._data_sharding)
         staged = (put(x_all), put(y_all), put(m_all), n_pad // b)
         self._device_datasets[key] = (ds.x, ds.y, staged)
+        # bound the cache: a fit uses train+val; evaluating many held-out
+        # datasets must not pin a staging-cap's worth of HBM per dataset
+        while len(self._device_datasets) > 4:
+            oldest = next(iter(self._device_datasets))
+            del self._device_datasets[oldest]
         return staged
 
     # -- epoch loops ---------------------------------------------------------
