@@ -102,3 +102,36 @@ def test_end_to_end_audio_training(tmp_path):
     history = trainer.fit(ds, ds, verbose=False)
     assert history[-1].loss < history[0].loss
     assert history[-1].val_accuracy > 0.7
+
+
+def test_audio_pipeline_trains_on_8_device_mesh(tmp_path):
+    """The raw-audio device pipeline (augment + frontend inside the train
+    step) must shard over the batch axis of a multi-device mesh — one
+    epoch-scan dispatch with the audio batch split across 'data'."""
+    from tpu_speech_commands.data.dataset import Dataset
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.parallel import make_mesh
+    from tpu_speech_commands.training import Trainer, TrainerConfig, create_train_state
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(1)
+    t = np.arange(16000) / 16000.0
+    x = np.stack([
+        (0.4 * np.sin(2 * np.pi * (400 + 300 * (i % 3)) * t)
+         + 0.02 * rng.standard_normal(16000)).astype(np.float32)
+        for i in range(48)
+    ])
+    y = (np.arange(48) % 3).astype(np.int32)
+    ds = Dataset(x, y)
+
+    frontend = Frontend()
+    pipe = make_audio_pipeline(frontend, "simple_gru", x[:2])
+    tx = get_optimizer("adam", 5e-3, decay_type=None)
+    model, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=16, epochs=2, log_dir=str(tmp_path),
+                        log_tensorboard=False)
+    trainer = Trainer(model, state, "simple_gru", 3, cfg,
+                      device_pipeline=pipe, mesh=make_mesh())
+    history = trainer.fit(ds, ds, verbose=False)
+    assert np.isfinite(history[-1].loss)
+    assert history[-1].loss < history[0].loss
