@@ -16,19 +16,22 @@ INT16_SCALE = float(np.iinfo(np.int16).max + 1)  # 32768, matches data_utils.py:
 
 def buffer_to_audio(buffer: bytes) -> np.ndarray:
     """Raw mono 16-bit LE PCM bytes -> float32 array in [-1, 1)."""
-    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    if pr.sample_depth != 2:
+        raise ValueError("only support 16-bit sample depth.")
     return np.frombuffer(buffer, dtype="<i2").astype(np.float32) / INT16_SCALE
 
 
 def audio_to_buffer(audio: np.ndarray) -> bytes:
     """float audio -> raw mono 16-bit LE PCM bytes (inverse of buffer_to_audio)."""
-    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    if pr.sample_depth != 2:
+        raise ValueError("only support 16-bit sample depth.")
     return (np.asarray(audio) * INT16_SCALE).astype("<i2").tobytes()
 
 
 def save_audio(filename: str, audio: np.ndarray, sample_rate: int | None = None):
     """Save float audio to a 16-bit PCM wav (data_utils.py:37-47)."""
-    assert pr.sample_depth == 2, "only support 16-bit sample depth."
+    if pr.sample_depth != 2:
+        raise ValueError("only support 16-bit sample depth.")
     rate = sample_rate or pr.sample_rate
     pcm = (np.clip(np.asarray(audio), -1.0, 1.0) * np.iinfo(np.int16).max).astype(
         "<i2"

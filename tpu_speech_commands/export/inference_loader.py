@@ -60,7 +60,11 @@ def load_native(model_path: str):
     # adopt checkpoint arrays (shapes validated against a fresh init)
     def adopt(new, old):
         new = np.asarray(new)
-        assert new.shape == np.asarray(old).shape, (new.shape, np.asarray(old).shape)
+        if new.shape != np.asarray(old).shape:
+            raise ValueError(
+                f"checkpoint tensor shape {new.shape} != model "
+                f"{np.asarray(old).shape}"
+            )
         return jnp.asarray(new, jnp.asarray(old).dtype)
 
     variables = jax.tree_util.tree_map(adopt, variables, {

@@ -84,9 +84,11 @@ def read_native_model(path: str, dequantize: bool = True):
     dequantize=False they come back as (int8 data, float32 scales) tuples.
     """
     with open(path, "rb") as f:
-        assert f.read(4) == MAGIC, "bad magic"
+        if f.read(4) != MAGIC:
+            raise ValueError("bad magic")
         version, meta_len = struct.unpack("<II", f.read(8))
-        assert version in (1, VERSION), f"unsupported version {version}"
+        if version not in (1, VERSION):
+            raise ValueError(f"unsupported version {version}")
         meta = json.loads(f.read(meta_len))
         tensors = {}
         while True:

@@ -89,16 +89,18 @@ def make_stream_update(frontend: Frontend, chunk_size: int):
     window, hop = p.window_samples, p.hop_samples
     buf_len = p.buffer_samples
     max_new = cfg.max_new
-    assert max_new <= p.n_features, (
-        "chunk_size too large for incremental update; lower chunk_size"
-    )
+    if max_new > p.n_features:
+        raise ValueError(
+            "chunk_size too large for incremental update; lower chunk_size"
+        )
     # start0 = buf_len - fill must stay >= 0 for dynamic_slice correctness:
     # fill peaks at window - 1 + chunk_size right before extraction, beyond
     # which dynamic_slice would clamp and silently emit corrupted frames.
-    assert window + chunk_size - 1 <= buf_len, (
-        "chunk_size too large for the audio buffer: need "
-        "window_samples + chunk_size - 1 <= buffer_samples"
-    )
+    if window + chunk_size - 1 > buf_len:
+        raise ValueError(
+            "chunk_size too large for the audio buffer: need "
+            "window_samples + chunk_size - 1 <= buffer_samples"
+        )
 
     def update(state, chunk):
         """state/chunk may carry identical leading stream axes.  `fill` is

@@ -198,9 +198,14 @@ class Listener:
 
         wav_path = wav_path or self.input_wav
         with wave.open(wav_path, "rb") as wf:
-            assert wf.getframerate() == self.pr.sample_rate, "unmatched sample rate"
-            assert wf.getsampwidth() == self.pr.sample_depth, "unmatched sample depth"
-            assert wf.getnchannels() == 1, "only support mono channel"
+            # real exceptions, not asserts: wrong-format wavs must be
+            # rejected even under python -O
+            if wf.getframerate() != self.pr.sample_rate:
+                raise ValueError("unmatched sample rate")
+            if wf.getsampwidth() != self.pr.sample_depth:
+                raise ValueError("unmatched sample depth")
+            if wf.getnchannels() != 1:
+                raise ValueError("only support mono channel")
             while True:
                 data = wf.readframes(self.chunk_size)
                 if not data:

@@ -90,7 +90,10 @@ def restore_state(state, path: str):
 
     def check(new, old):
         new = np.asarray(new)
-        assert new.shape == old.shape, f"{new.shape} vs {old.shape}"
+        if new.shape != old.shape:
+            raise ValueError(
+                f"checkpoint tensor shape {new.shape} != state {old.shape}"
+            )
         return new.astype(old.dtype)
 
     params = jax.tree_util.tree_map(
