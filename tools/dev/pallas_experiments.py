@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
-"""Pallas frontend optimization experiments (dev tool).
+"""Pallas frontend optimization experiments (dev tool, round-1 era).
+
+HISTORICAL: these variants explored the DENSE-DFT kernel; the production
+kernel has since moved to the two-stage Cooley-Tukey GEMM-DFT
+(ops/pallas_frontend.py dft_mode='ct'), whose own tried-and-rejected
+variants (per-piece mel accumulation, duplicated-row mel, bf16 matmuls,
+int16 staging, input-projection hoist) are recorded in docs/ROADMAP.md.
+Kept as the measurement-harness template for future kernel experiments.
 
 Variants measured with a single-dispatch checksum (out.sum() fetched to
 host) on one big batch — immune to async-dispatch artifacts:
 
-  tile8/tile16/tile32 — current kernel at different batch tiles
+  tile8/tile16/tile32 — dense kernel at different batch tiles
   combined            — cos|sin fused into ONE (W, 2*bins) matmul
   xla                 — the jnp lowering for comparison
 """
