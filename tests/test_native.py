@@ -173,6 +173,94 @@ def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
     assert out.count("\n") >= len(audio) // 1024
 
 
+def test_native_app_runs_bark_model(tmp_path, audio):
+    """A bark-trained export must select the BFCC frontend in the C++ app
+    (model.cc reads meta feature_type) and classify end to end."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", len(CLASSES), tx,
+                                  jax.random.PRNGKey(2))
+    ckpt = str(tmp_path / "bark.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_gru", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(), "feature_type": "bark",
+    })
+    blob = str(tmp_path / "bark.tscm")
+    export_native(ckpt, blob)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    out = subprocess.run(
+        [app, "--model", blob, "--wav", wav, "--top_k", "2"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "model invoke time" in out
+
+    # the C++ BFCC features must match the python bark frontend closely
+    # enough that scores agree with the JAX forward on the same wav
+    import jax.numpy as jnp
+
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.models import features_to_input, score_fn
+    from tpu_speech_commands.native_binding import NativeModel
+
+    feats = np.asarray(Frontend(pr, feature_type="bark")(jnp.asarray(audio)))
+    native = NativeModel(blob)
+    native_scores = native.predict(feats.astype(np.float32))
+    want = np.asarray(score_fn(state.apply_fn(
+        {"params": state.params},
+        features_to_input(jnp.asarray(feats[None]), "simple_gru"),
+        train=False,
+    )))[0]
+    np.testing.assert_allclose(native_scores, want, rtol=1e-3, atol=1e-4)
+
+
+def test_native_runtime_use_delta_model(tmp_path):
+    """use_delta doubles the feature width; the native runtime must size
+    its buffers from the meta and match the JAX forward."""
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.models import features_to_input, init_model, score_fn
+    from tpu_speech_commands.native_binding import NativeModel
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import ListenerParams
+    from tpu_speech_commands.training import TrainState, save_checkpoint
+
+    import jax.numpy as jnp
+
+    p = ListenerParams(use_delta=True)  # feature_size 40
+    model, variables = init_model("simple_lstm", len(CLASSES),
+                                  jax.random.PRNGKey(3), params=p)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
+    ckpt = str(tmp_path / "d.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_lstm", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": p.to_dict(),
+    })
+    blob = str(tmp_path / "d.tscm")
+    export_native(ckpt, blob)
+
+    native = NativeModel(blob)
+    assert native.feature_width == 2 * p.n_mfcc
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((p.n_features, 2 * p.n_mfcc)).astype(np.float32)
+    got = native.predict(feats)
+    want = np.asarray(score_fn(model.apply(
+        variables, features_to_input(jnp.asarray(feats[None]), "simple_lstm"),
+        train=False,
+    )))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_alsa_app_compiles(build_native):
     """The live-mic app must build everywhere: against real libasound when
     present, else as an object-only compile check vs compat/alsa_stub."""
