@@ -90,8 +90,23 @@ int main(int argc, char** argv) {
   const int frames_cap =
       std::max(frontend.num_frames(max_samples), model.n_features);
   std::vector<float> features(static_cast<size_t>(frames_cap) * fs, 0.0f);
-  frontend.segment_features(audio.data(), max_samples, features.data());
-  features.resize(static_cast<size_t>(model.n_features) * fs);  // model contract
+  const int got_frames =
+      frontend.segment_features(audio.data(), max_samples, features.data());
+  // model contract is n_features rows; when max_samples framing yields
+  // extra frames for this hop/window rounding, keep the TAIL-aligned rows
+  // (command sits at the buffer tail) — matching the python frontends
+  // (frontend/dsp.py __call__, ops/pallas_frontend._trim_to_contract)
+  if (got_frames > model.n_features) {
+    features.erase(features.begin(),
+                   features.begin() +
+                       static_cast<size_t>(got_frames - model.n_features) * fs);
+    if (model.use_delta) {
+      // python trims BEFORE add_deltas, so the first kept row's delta
+      // half (columns [fs/2, fs)) is zero
+      std::fill(features.begin() + fs / 2, features.begin() + fs, 0.0f);
+    }
+  }
+  features.resize(static_cast<size_t>(model.n_features) * fs);
   const double feat_ms = ms_since(t0);
 
   for (int i = 0; i < warmup; ++i) model.predict(features);

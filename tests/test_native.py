@@ -261,6 +261,62 @@ def test_native_runtime_use_delta_model(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_native_app_matches_python_at_odd_hop_rounding(tmp_path, audio):
+    """hop_t=0.03: max_samples framing yields one extra frame vs the
+    n_features contract; the C++ app must keep the TAIL-aligned rows like
+    the python frontends, so scores agree across runtimes."""
+    import jax.numpy as jnp
+
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.models import features_to_input, init_model, score_fn
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import ListenerParams
+    from tpu_speech_commands.training import TrainState, save_checkpoint
+
+    p = ListenerParams(hop_t=0.03)
+    assert 1 + (p.max_samples - p.window_samples) // p.hop_samples \
+        == p.n_features + 1
+    model, variables = init_model("simple_gru", len(CLASSES),
+                                  jax.random.PRNGKey(4), params=p)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"),
+    )
+    ckpt = str(tmp_path / "oh.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_gru", "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": p.to_dict(),
+    })
+    blob = str(tmp_path / "oh.tscm")
+    export_native(ckpt, blob)
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    out = subprocess.run(
+        [app, "--model", blob, "--wav", wav, "--top_k", str(len(CLASSES))],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    app_scores = {}
+    for line in out.splitlines():
+        parts = line.rsplit(": ", 1)
+        if len(parts) == 2 and parts[0] in CLASSES:
+            app_scores[parts[0]] = float(parts[1])
+    assert len(app_scores) == len(CLASSES), out
+
+    feats = np.asarray(Frontend(p)(jnp.asarray(audio)))
+    assert feats.shape == (p.n_features, p.n_mfcc)
+    want = np.asarray(score_fn(model.apply(
+        variables, features_to_input(jnp.asarray(feats[None]), "simple_gru"),
+        train=False,
+    )))[0]
+    got = np.array([app_scores[c] for c in CLASSES])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def test_alsa_app_compiles(build_native):
     """The live-mic app must build everywhere: against real libasound when
     present, else as an object-only compile check vs compat/alsa_stub."""
