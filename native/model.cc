@@ -72,15 +72,15 @@ NativeModel NativeModel::load(const std::string& path) {
     } else if (dtype == 1) {  // symmetric per-channel int8 (last axis)
       uint32_t n_scales = 0;
       f.read(reinterpret_cast<char*>(&n_scales), 4);
-      if (!f || n_scales > kMaxElems)
-        throw std::runtime_error("corrupt tensor record in " + path);
+      // reject a bad scale count BEFORE any allocation: a crafted header
+      // must not be able to force a multi-GiB transient resize
+      if (!f || ndim == 0 || t.shape[ndim - 1] != n_scales)
+        throw std::runtime_error("quantized tensor scale count mismatch: " +
+                                 name);
       t.scales.resize(n_scales);
       f.read(reinterpret_cast<char*>(t.scales.data()), 4 * n_scales);
       t.qdata.resize(t.size());
       f.read(reinterpret_cast<char*>(t.qdata.data()), t.size());
-      if (ndim == 0 || t.shape[ndim - 1] != n_scales)
-        throw std::runtime_error("quantized tensor scale count mismatch: " +
-                                 name);
     } else {
       throw std::runtime_error("unknown tensor dtype in " + path);
     }

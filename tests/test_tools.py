@@ -201,3 +201,14 @@ def test_speech_command_split(tmp_path):
     spec = np.abs(np.fft.rfft(clip))
     freqs = np.fft.rfftfreq(len(clip), 1 / sr)
     assert abs(freqs[spec.argmax()] - 700) < 20
+
+
+def test_wav_play_info(wav_dir):
+    # --info_only exercises the header dump + chunk preload without an
+    # output device (PyAudio playback itself stays gated)
+    out = run_tool("wav_play.py", "--wav_path", str(wav_dir),
+                   "--info_only", "--chunk_size", "512")
+    assert out.stdout.count("sample rate: 16000") == 3
+    assert "total frames: 16000" in out.stdout
+    assert "duration seconds: 1.0 s" in out.stdout
+    assert "Playing (1/3)" in out.stdout and "Done" in out.stdout

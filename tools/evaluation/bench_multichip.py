@@ -31,6 +31,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; forward it to
+    # the config knob so `JAX_PLATFORMS=cpu` cannot silently target the
+    # single-tenant TPU (same dance as tools/audio_process/_common.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from tpu_speech_commands.frontend import Frontend

@@ -79,11 +79,15 @@ def _jitted_frontend(frontend):
     if fn is None:
         import jax
 
-        fn = jax.jit(lambda a: frontend(a))
+        # close over a weakref, not the frontend itself: the cached value
+        # is held by the WeakKeyDictionary (values are strong refs), so a
+        # closure over `frontend` would keep its own key alive forever
         try:
+            ref = weakref.ref(frontend)
+            fn = jax.jit(lambda a: ref()(a))
             _JITTED_FRONTENDS[frontend] = fn
-        except TypeError:
-            pass
+        except TypeError:  # unhashable / not weakref-able callable
+            fn = jax.jit(lambda a: frontend(a))
     return fn
 
 
