@@ -37,6 +37,7 @@ def main(args):
         inject_params(args.params_path)
 
     frontend = Frontend(pr, feature_type=args.feature_type)
+    mesh = make_mesh(n_data=args.num_devices) if args.num_devices else make_mesh()
 
     device_pipeline = None
     if args.augment:
@@ -56,32 +57,17 @@ def main(args):
         noise_bank = train_ds.x[train_ds.y == 0]
         if len(noise_bank) == 0:
             noise_bank = np.zeros((1, pr.max_samples), np.float32)
-        # on single-chip TPU the fused Pallas CT frontend replaces the XLA
-        # GEMM chain inside the train step (no VJP needed: gradients flow
-        # only into the model, the frontend is constant w.r.t. params).
-        # Multi-chip sticks with the XLA frontend — a Pallas custom call
-        # does not auto-partition across a sharded batch.
-        pipeline_frontend = frontend
-        from tpu_speech_commands.ops.pallas_frontend import _ct_eligible
+        # the fused Pallas CT frontend replaces the XLA GEMM chain inside
+        # the train step whenever usable (no VJP needed: gradients flow
+        # only into the model, the frontend is constant w.r.t. params);
+        # on a multi-device mesh the kernel runs per batch shard via
+        # shard_map — select_training_frontend owns the choice and prints
+        # a visible notice on any fallback
+        from tpu_speech_commands.ops import select_training_frontend
 
-        if (jax.default_backend() == "tpu" and len(jax.devices()) == 1
-                and _ct_eligible(pr) and args.batch_size % 16 == 0):
-            from tpu_speech_commands.ops import make_fused_frontend
-
-            fused = make_fused_frontend(
-                pr, feature_type=args.feature_type, batch_tile=16
-            )
-            if pr.use_delta:
-                # the fused kernel leaves deltas to the caller
-                # (pallas_frontend.py make_fused_frontend docstring); the
-                # XLA Frontend applies them internally
-                from tpu_speech_commands.frontend.dsp import add_deltas
-
-                pipeline_frontend = lambda a, gain=None: add_deltas(  # noqa: E731
-                    fused(a, gain)
-                )
-            else:
-                pipeline_frontend = fused
+        pipeline_frontend, _ = select_training_frontend(
+            pr, args.feature_type, args.batch_size, mesh=mesh,
+        )
         device_pipeline = make_audio_pipeline(
             pipeline_frontend, args.model_type, noise_bank
         )
@@ -144,7 +130,6 @@ def main(args):
         else:
             print("No checkpoint to resume from; starting fresh.")
 
-    mesh = make_mesh(n_data=args.num_devices) if args.num_devices else make_mesh()
     config = TrainerConfig(
         batch_size=args.batch_size,
         epochs=args.epochs,
