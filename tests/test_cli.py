@@ -67,3 +67,83 @@ def test_train_resume_flag(tmp_path, capsys):
     train_cli.main(args)
     out = capsys.readouterr().out
     assert "Resumed from" in out
+
+
+def test_bark_lstm_full_path(tmp_path, capsys):
+    """BASELINE config 4 (simple_lstm + bark frontend) trained END TO END:
+    train -> eval -> listen replay -> ONNX + native export with score
+    parity across formats on the bark features (round-2 verdict #5 — bark
+    was parity-tested per layer but never driven through a full training
+    run)."""
+    import eval as eval_cli
+    import train as train_cli
+
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=8)
+    train_cli.main(_train_args(tmp_path, root, **{
+        "--model_type": "simple_lstm", "--feature_type": "bark",
+    }))
+    out = capsys.readouterr().out
+    assert "Epoch 2/2" in out
+    final = str(tmp_path / "logs" / "trained_final.npz")
+
+    # the checkpoint is self-describing: downstream loaders (native
+    # runtime, exporters) read the bark frontend from the meta
+    from tpu_speech_commands.training.checkpoints import load_checkpoint
+
+    _, meta = load_checkpoint(final)
+    assert meta["feature_type"] == "bark"
+
+    acc = eval_cli.main(eval_cli.build_parser().parse_args([
+        "--model_path", final, "--dataset_path", root,
+        "--classes_path", _write_classes(tmp_path),
+        "--output_path", str(tmp_path / "result"),
+        "--batch_size", "16", "--feature_type", "bark",
+    ]))
+    assert 0.0 <= acc <= 1.0
+    capsys.readouterr()
+
+    # streaming replay with the bark frontend
+    from tpu_speech_commands.data.synthetic import synth_command_audio
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.streaming import Listener
+
+    rng = np.random.default_rng(7)
+    audio = synth_command_audio("left", rng)
+    wav_path = str(tmp_path / "left.wav")
+    save_audio(wav_path, audio)
+    listener = Listener(
+        model_path=final, classes_path=_write_classes(tmp_path),
+        input_wav=wav_path, feature_type="bark",
+    )
+    listener.run_wav()
+    bars = capsys.readouterr().out
+    assert bars.count("\n") == -(-len(audio) // 1024)
+
+    # export parity: JAX checkpoint vs ONNX (mini runtime) vs native .tscm
+    # on identical bark features
+    import jax.numpy as jnp
+
+    from tpu_speech_commands.export.inference_loader import load_inference_model
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.export.saved_model import export_onnx
+    from tpu_speech_commands.frontend import Frontend
+    from tpu_speech_commands.params import pr
+
+    onnx_path = str(tmp_path / "m.onnx")
+    export_onnx(final, onnx_path)
+    tscm_path = str(tmp_path / "m.tscm")
+    export_native(final, tscm_path)
+
+    feats = np.asarray(
+        Frontend(pr, feature_type="bark")(jnp.asarray(audio[None]))
+    ).astype(np.float32)
+    scores = {}
+    for name, path in (("jax", final), ("onnx", onnx_path),
+                       ("native", tscm_path)):
+        predict_fn, _ = load_inference_model(path)
+        scores[name] = np.asarray(predict_fn(feats))
+    np.testing.assert_allclose(scores["onnx"], scores["jax"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(scores["native"], scores["jax"],
+                               rtol=1e-3, atol=1e-4)
