@@ -4,7 +4,11 @@
 // (inference/tflite/speech_commands_alsa.cpp behaviour): capture PCM
 // S16_LE mono at the model rate with period=chunk, EPIPE overrun recovery,
 // then the same incremental-feature / decode / trigger loop as the stream
-// app.  Built only when ALSA headers are available (see CMakeLists.txt).
+// app.  The capture loop itself lives in capture_loop.h behind the
+// PcmReader seam; this file contributes only the ALSA-backed reader.
+// Built against real libasound when available, else against
+// compat/alsa_fake (a file-backed fake with deterministic overrun
+// injection) so the app is runnable — not just compilable — everywhere.
 #include <alsa/asoundlib.h>
 
 #include <cstdio>
@@ -12,6 +16,7 @@
 #include <string>
 #include <vector>
 
+#include "capture_loop.h"
 #include "model.h"
 #include "stream_runtime.h"
 
@@ -38,10 +43,27 @@ static snd_pcm_t* prepare_alsa(const char* device, int rate, int chunk) {
   return pcm;
 }
 
+// ALSA-backed PcmReader: the one production implementation of the seam.
+class AlsaPcmReader : public tsc::PcmReader {
+ public:
+  explicit AlsaPcmReader(snd_pcm_t* pcm) : pcm_(pcm) {}
+  long readi(int16_t* buffer, long frames) override {
+    return snd_pcm_readi(pcm_, buffer, frames);
+  }
+  int recover() override { return snd_pcm_prepare(pcm_); }
+  const char* error_string(long err) override {
+    return snd_strerror(static_cast<int>(err));
+  }
+
+ private:
+  snd_pcm_t* pcm_;
+};
+
 int main(int argc, char** argv) {
   std::string model_path, device = "default";
   int chunk_size = 1024, trigger_level = 3;
   double sensitivity = 0.5;
+  bool show_bars = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -53,10 +75,12 @@ int main(int argc, char** argv) {
     else if (a == "--chunk_size") chunk_size = std::atoi(next().c_str());
     else if (a == "--sensitivity") sensitivity = std::atof(next().c_str());
     else if (a == "--trigger_level") trigger_level = std::atoi(next().c_str());
+    else if (a == "--bars") show_bars = true;
     else {
       std::fprintf(stderr,
                    "usage: %s --model m.tscm [--device default] "
-                   "[--chunk_size N] [--sensitivity S] [--trigger_level N]\n",
+                   "[--chunk_size N] [--sensitivity S] [--trigger_level N] "
+                   "[--bars]\n",
                    argv[0]);
       return 2;
     }
@@ -81,26 +105,19 @@ int main(int argc, char** argv) {
   }
 
   tsc::StreamRuntime runtime(model, chunk_size, sensitivity, trigger_level);
-  std::vector<int16_t> pcm_buf(chunk_size);
-  std::vector<float> chunk(chunk_size);
-
-  while (true) {
-    long got = snd_pcm_readi(pcm, pcm_buf.data(), chunk_size);
-    if (got == -EPIPE) {  // overrun: recover and retry
-      snd_pcm_prepare(pcm);
-      continue;
-    }
-    if (got < 0) {
-      std::fprintf(stderr, "alsa read error: %s\n", snd_strerror(got));
-      break;
-    }
-    if (got < chunk_size) continue;
-
-    for (int i = 0; i < chunk_size; ++i) chunk[i] = pcm_buf[i] / 32768.0f;
-    const tsc::StreamRuntime::Step step = runtime.step(chunk.data());
-    if (step.triggered)
-      std::printf("command %s detected!\n", step.label.c_str());
-  }
+  AlsaPcmReader reader(pcm);
+  const tsc::CaptureStats stats = tsc::run_capture_loop(
+      reader, runtime, chunk_size,
+      [&](const tsc::StreamRuntime::Step& step) {
+        if (show_bars)
+          tsc::print_bar(step.label, step.score, sensitivity, step.background);
+        if (step.triggered)
+          std::printf("command %s detected!\n", step.label.c_str());
+      });
   snd_pcm_close(pcm);
-  return 0;
+  // observable evidence for tests / ops: how the capture session ended
+  std::printf("capture done: chunks=%ld overruns_recovered=%ld "
+              "short_reads=%ld\n",
+              stats.chunks, stats.overruns_recovered, stats.short_reads);
+  return stats.failed ? 1 : 0;
 }

@@ -19,19 +19,7 @@
 #include "stream_runtime.h"
 #include "wav.h"
 
-static void print_bar(const std::string& class_name, double score,
-                      double sensitivity, bool background) {
-  const int width = 80;
-  double shown = background ? 1.0 - score : score;
-  const int units = static_cast<int>(shown * width + 0.5);
-  const int cutoff = static_cast<int>(sensitivity * width + 0.5);
-  std::string bar;
-  for (int i = 0; i < width; ++i) {
-    const bool on = i < units;
-    bar += on ? (i < cutoff ? 'X' : 'x') : '-';
-  }
-  std::printf("%s%s\n", bar.c_str(), background ? "" : class_name.c_str());
-}
+using tsc::print_bar;
 
 int main(int argc, char** argv) {
   std::string model_path, wav_path;

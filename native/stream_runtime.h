@@ -58,6 +58,22 @@ inline std::string check_chunk_size(const NativeModel& m, int chunk_size) {
   return "";
 }
 
+// Console confidence bar (reference print_bar, speech_commands.h:214-258):
+// X up to the sensitivity cutoff, x above it, background inverted and bare.
+inline void print_bar(const std::string& class_name, double score,
+                      double sensitivity, bool background) {
+  const int width = 80;
+  const double shown = background ? 1.0 - score : score;
+  const int units = static_cast<int>(shown * width + 0.5);
+  const int cutoff = static_cast<int>(sensitivity * width + 0.5);
+  std::string bar;
+  for (int i = 0; i < width; ++i) {
+    const bool on = i < units;
+    bar += on ? (i < cutoff ? 'X' : 'x') : '-';
+  }
+  std::printf("%s%s\n", bar.c_str(), background ? "" : class_name.c_str());
+}
+
 class StreamRuntime {
  public:
   struct Step {

@@ -317,16 +317,63 @@ def test_native_app_matches_python_at_odd_hop_rounding(tmp_path, audio):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
-def test_alsa_app_compiles(build_native):
-    """The live-mic app must build everywhere: against real libasound when
-    present, else as an object-only compile check vs compat/alsa_stub."""
-    build_dir = os.path.join(REPO, "native", "build")
-    linked = os.path.join(build_dir, "speech_commands_alsa")
-    obj = os.path.join(
-        build_dir, "CMakeFiles", "speech_commands_alsa_compile_check.dir",
-        "speech_commands_alsa.cc.o",
+def test_alsa_app_runs_with_overrun_recovery(tmp_path, audio):
+    """The live-mic app binary EXECUTES its capture loop end to end: when
+    libasound is absent, CMake links it against compat/alsa_fake (a
+    file-backed capture device with deterministic fault injection), so
+    the EPIPE re-prepare branch, short-read drop and end-of-stream exit
+    all run — not just compile (round-2 verdict #3).  The fake returns
+    -EIO if the loop reads after an overrun without re-preparing, so a
+    missing recovery fails loudly."""
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                  jax.random.PRNGKey(4))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {
+        "model_type": "simple_cnn_lite", "num_classes": len(CLASSES),
+        "classes": CLASSES,
+    })
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    three_secs = np.concatenate([audio, audio, audio])
+    pcm = np.clip(three_secs * 32768.0, -32768, 32767).astype("<i2")
+    pcm_path = str(tmp_path / "mic.pcm")
+    pcm.tofile(pcm_path)
+
+    app = os.path.join(REPO, "native", "build", "speech_commands_alsa")
+    env = dict(
+        os.environ,
+        TSC_FAKE_ALSA_PCM=pcm_path,
+        TSC_FAKE_ALSA_OVERRUN_EVERY="5",
+        TSC_FAKE_ALSA_SHORT_READ_AT="7",
     )
-    assert os.path.exists(linked) or os.path.exists(obj)
+    out = subprocess.run(
+        [app, "--model", blob, "--bars", "--chunk_size", "1024"],
+        capture_output=True, text=True, check=True, env=env,
+    ).stdout
+    stats = dict(
+        kv.split("=") for kv in out.splitlines()[-1].split()[2:]
+    )
+    # 48000 samples = 46 full chunks + 1 ragged tail; one injected short
+    # read consumes a half period, so its samples are dropped too
+    assert int(stats["overruns_recovered"]) >= 5
+    assert int(stats["short_reads"]) == 2  # injected half period + tail
+    n_chunks = int(stats["chunks"])
+    assert n_chunks == (len(pcm) - 512) // 1024
+    assert out.count("\n") == n_chunks + 1  # one bar per chunk + stats
+
+    # without recovery-fault injection the same capture is clean
+    env_clean = dict(os.environ, TSC_FAKE_ALSA_PCM=pcm_path)
+    out2 = subprocess.run(
+        [app, "--model", blob], capture_output=True, text=True, check=True,
+        env=env_clean,
+    ).stdout
+    assert "overruns_recovered=0" in out2 and "chunks=46" in out2
 
 
 def test_native_apps_threads_flag_identical_output(tmp_path, audio):
