@@ -128,6 +128,52 @@ def test_trigger_counter_decay():
     assert det.activation == 1
 
 
+def test_trigger_array_matches_scalar_detectors():
+    """TriggerDetectorArray advances N slot state machines bit-exactly like
+    N scalar TriggerDetectors over random score streams — including
+    refractory periods, class switches and inactive-slot freezing (the
+    multi-stream server's batched postprocess, round-2 verdict #6)."""
+    from tpu_speech_commands.streaming import TriggerDetectorArray
+
+    rng = np.random.default_rng(17)
+    n_slots, ticks = 32, 400
+    scalars = [TriggerDetector(1024, CLASSES, trigger_level=3)
+               for _ in range(n_slots)]
+    array = TriggerDetectorArray(1024, CLASSES, trigger_level=3,
+                                 n_slots=n_slots)
+    for t in range(ticks):
+        idx = rng.integers(0, len(CLASSES), n_slots)
+        # sticky streams: mostly repeat the previous class so streaks form
+        if t > 0:
+            keep = rng.random(n_slots) < 0.7
+            idx = np.where(keep, prev_idx, idx)
+        prev_idx = idx
+        score = rng.random(n_slots)
+        active = rng.random(n_slots) < 0.9
+        want = np.array([
+            scalars[i].update(int(idx[i]), float(score[i])) if active[i]
+            else False
+            for i in range(n_slots)
+        ])
+        got = array.update(idx, score, active)
+        np.testing.assert_array_equal(got, want, err_msg=f"tick {t}")
+        # occasional per-slot reset (stream leaves, slot re-admitted)
+        if t % 37 == 0:
+            slot = int(rng.integers(0, n_slots))
+            scalars[slot] = TriggerDetector(1024, CLASSES, trigger_level=3)
+            array.reset(slot)
+    assert_same_state = [
+        (scalars[i].activation, -1 if scalars[i].record_index is None
+         else scalars[i].record_index) for i in range(n_slots)
+    ]
+    np.testing.assert_array_equal(
+        array.activation, [s[0] for s in assert_same_state]
+    )
+    np.testing.assert_array_equal(
+        array.record_index, [s[1] for s in assert_same_state]
+    )
+
+
 # -- incremental feature streaming parity ------------------------------------
 
 @pytest.mark.parametrize("chunk_size", [1024, 512, 800])

@@ -60,7 +60,7 @@ def main():
     from tpu_speech_commands.params import inject_params, pr
     from tpu_speech_commands.streaming import (
         ThresholdDecoder,
-        TriggerDetector,
+        TriggerDetectorArray,
         init_stream_state,
         make_stream_update,
         reset_streams,
@@ -78,11 +78,14 @@ def main():
 
     n_slots = args.slots
     states = init_stream_state(pr, n_streams=n_slots)
-    # one decoder for all slots: it is a stateless CDF lookup table (only
-    # the per-slot TriggerDetector carries stream state)
+    # postprocess is vectorized across the slot pool: one stateless CDF
+    # decode (decode_array) + one TriggerDetectorArray update per tick —
+    # a per-slot Python loop becomes the budget near ~1000 slots (see
+    # tools/evaluation/bench_postprocess.py for the measurement)
     decoder = ThresholdDecoder(pr.threshold_config, pr.threshold_center)
-    triggers = [TriggerDetector(args.chunk_size, classes, args.sensitivity,
-                                args.trigger_level) for _ in range(n_slots)]
+    detector = TriggerDetectorArray(args.chunk_size, classes,
+                                    args.sensitivity, args.trigger_level,
+                                    n_slots=n_slots)
 
     # host-side slot bookkeeping
     slot_wav = [None] * n_slots    # active wav audio per slot
@@ -103,8 +106,7 @@ def main():
         mask = np.zeros(n_slots, bool)
         mask[slot] = True
         states = reset_streams(states, jnp.asarray(mask))
-        triggers[slot] = TriggerDetector(args.chunk_size, classes,
-                                         args.sensitivity, args.trigger_level)
+        detector.reset(slot)
         slot_wav[slot] = audio.astype(np.float32)
         slot_pos[slot] = 0
         slot_name[slot] = os.path.basename(path)
@@ -129,14 +131,16 @@ def main():
         states, feats = update(states, jnp.asarray(chunks))
         if active:
             scores = np.asarray(predict(np.asarray(feats)))
-            for i in active:
-                idx = int(scores[i].argmax())
-                conf = float(scores[i, idx])
-                if idx != 0:
-                    conf = decoder.decode(conf)
-                if triggers[i].update(idx, conf):
-                    print(f"[tick {tick}] slot {i} ({slot_name[i]}): "
-                          f"command '{classes[idx]}' detected!")
+            idx = scores.argmax(axis=1)
+            conf = scores[np.arange(n_slots), idx].astype(np.float64)
+            non_bg = idx != 0
+            conf[non_bg] = decoder.decode_array(conf[non_bg])
+            active_mask = np.zeros(n_slots, bool)
+            active_mask[active] = True
+            fired = detector.update(idx, conf, active_mask)
+            for i in np.nonzero(fired)[0]:
+                print(f"[tick {tick}] slot {i} ({slot_name[i]}): "
+                      f"command '{classes[idx[i]]}' detected!")
 
         for i in list(active):
             if slot_pos[i] >= len(slot_wav[i]):

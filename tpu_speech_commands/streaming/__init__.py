@@ -7,11 +7,12 @@ from .feature_stream import (
     reset_streams,
 )
 from .listener import Listener, default_config
-from .trigger import TriggerDetector
+from .trigger import TriggerDetector, TriggerDetectorArray
 
 __all__ = [
     "ThresholdDecoder",
     "TriggerDetector",
+    "TriggerDetectorArray",
     "Listener",
     "default_config",
     "NumpyStreamReplica",
