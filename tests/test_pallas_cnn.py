@@ -1,0 +1,114 @@
+"""Fused conv-block-1 Pallas kernel vs the XLA/flax forward (interpret
+mode on CPU).  The kernel is the serving-path replacement for the CNN's
+first conv block whose HBM round trip is ~60% of the classifier-side
+bandwidth gap (ROADMAP.md §3)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_speech_commands.models import get_model
+from tpu_speech_commands.ops.pallas_cnn import (
+    make_fused_conv_block1,
+    make_fused_cnn_forward,
+)
+
+
+def _init_with_real_stats(model_type, num_classes, h, w, seed=0):
+    """Init a CNN and push non-trivial BatchNorm running stats (a few
+    train steps' worth) so the BN-folding math is actually exercised —
+    fresh zeros/ones stats would hide scale/mean bugs."""
+    model = get_model(model_type, num_classes)
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (8, h, w, 1))
+    variables = model.init({"params": rng}, x, train=False)
+    # run a few train-mode applies to move the running stats off init
+    for i in range(3):
+        xb = 2.0 * jax.random.normal(jax.random.fold_in(rng, 2 + i),
+                                     (8, h, w, 1)) + 0.3
+        _, upd = model.apply(
+            variables, xb, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(rng, 10 + i)},
+        )
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+    return model, variables
+
+
+@pytest.mark.parametrize("model_type", ["simple_cnn", "simple_cnn_lite"])
+def test_fused_block1_matches_flax(model_type):
+    h, w = 30, 20
+    model, variables = _init_with_real_stats(model_type, 5, h, w)
+    x = jax.random.normal(jax.random.PRNGKey(42), (8, h, w, 1))
+
+    fused = make_fused_conv_block1(
+        variables, n_features=h, feature_size=w,
+        separable=model.separable, batch_tile=4, interpret=True,
+    )
+    got = np.asarray(fused(x))
+    assert got.shape == (8, 15, 10, 16)
+
+    # reference: run just block 1 through flax by applying the full model
+    # in eval mode and capturing the block-1 output via a manual replay
+    from tpu_speech_commands.models.cnn import _ConvBlock
+
+    block = _ConvBlock(16, 1, model.separable, False, True, jnp.float32,
+                       model.bn_momentum)
+    blk_vars = {
+        "params": variables["params"]["block1"],
+        "batch_stats": variables["batch_stats"]["block1"],
+    }
+    want = np.asarray(block.apply(blk_vars, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_cnn_forward_matches_full_apply():
+    h, w = 30, 20
+    model, variables = _init_with_real_stats("simple_cnn", 5, h, w, seed=3)
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, h, w, 1))
+    fused_fwd = make_fused_cnn_forward(
+        model, variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    got = np.asarray(fused_fwd(x))
+    want = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_block1_odd_height():
+    """hop_t=0.03 configs give n_features=31; VALID 2x2 pooling must drop
+    the last row exactly like nn.max_pool."""
+    h, w = 31, 20
+    model, variables = _init_with_real_stats("simple_cnn", 5, h, w, seed=5)
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, h, w, 1))
+    fused = make_fused_conv_block1(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    got = np.asarray(fused(x))
+    assert got.shape == (4, 15, 10, 16)
+
+    from tpu_speech_commands.models.cnn import _ConvBlock
+
+    block = _ConvBlock(16, 1, False, False, True, jnp.float32,
+                       model.bn_momentum)
+    blk_vars = {
+        "params": variables["params"]["block1"],
+        "batch_stats": variables["batch_stats"]["block1"],
+    }
+    want = np.asarray(block.apply(blk_vars, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_block1_rejects_bad_shapes():
+    h, w = 30, 20
+    _, variables = _init_with_real_stats("simple_cnn", 5, h, w, seed=1)
+    fused = make_fused_conv_block1(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    with pytest.raises(ValueError):
+        fused(jnp.zeros((6, h, w, 1)))  # batch not a tile multiple
+    with pytest.raises(ValueError):
+        fused(jnp.zeros((4, 28, w, 1)))  # wrong spatial dims

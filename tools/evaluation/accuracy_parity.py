@@ -30,13 +30,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model_type", default="simple_cnn")
+    parser.add_argument("--model_type", dest="model_types", nargs="+",
+                        default=["simple_cnn"],
+                        help="one or more families to compare")
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--learning_rate", type=float, default=1e-3)
-    parser.add_argument("--samples_per_class", type=int, default=60)
+    parser.add_argument("--samples_per_class", type=int, default=60,
+                        help="371 gives a ~2k-sample val set at the 36-class "
+                             "list (the statistical-power configuration)")
     parser.add_argument("--val_split", type=float, default=0.15)
-    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--seed", dest="seeds", type=int, nargs="+",
+                        default=[42],
+                        help="one run per seed; multiple seeds report "
+                             "mean±std per family (seed drives the "
+                             "train/val split, init and fit shuffling)")
     parser.add_argument("--work_dir", default="/tmp/accuracy_parity")
     parser.add_argument("--jax_platform", default=None,
                         choices=[None, "cpu", "tpu"],
@@ -66,47 +74,74 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "..", "..",
         "configs", "speech_commands_classes.txt",
     ))
-    ds_root = os.path.join(args.work_dir, "ds36")
+    # the corpus is generated once with a fixed seed; per-run seeds vary
+    # the split/init/shuffling, not the data
+    ds_root = os.path.join(args.work_dir,
+                           f"ds36_{args.samples_per_class}")
     if not os.path.isdir(os.path.join(ds_root, "sounds")):
-        print(f"Building {len(classes)}-class synthetic dataset ...")
+        print(f"Building {len(classes)}-class synthetic dataset "
+              f"({args.samples_per_class}/class) ...")
         make_synthetic_dataset(ds_root, classes,
                                samples_per_class=args.samples_per_class,
-                               seed=args.seed)
+                               seed=7)
 
     full = get_dataset(ds_root, classes)
     x, y = np.asarray(full.x, np.float32), np.asarray(full.y, np.int64)
 
-    # one fixed shuffled split shared by both frameworks
-    rng = np.random.default_rng(args.seed)
-    order = rng.permutation(len(x))
+    results = {m: {"keras": [], "jax": [], "cross": []}
+               for m in args.model_types}
+    for seed in args.seeds:
+        # fresh shuffled split per seed, shared by both frameworks
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(x))
+        n_val = int(len(x) * args.val_split)
+        val_idx, train_idx = order[:n_val], order[n_val:]
+        x_train, y_train = x[train_idx], y[train_idx]
+        x_val, y_val = x[val_idx], y[val_idx]
+        print(f"\n-- seed {seed}: train {len(x_train)} / val {len(x_val)} "
+              f"samples, {len(classes)} classes --")
+        for model_type in args.model_types:
+            print(f"[seed {seed}] {model_type}:")
+            keras_acc, h5_path = train_keras(
+                args, model_type, seed, classes, x_train, y_train,
+                x_val, y_val,
+            )
+            jax_acc = train_jax(args, model_type, seed, classes,
+                                x_train, y_train, x_val, y_val)
+            cross_acc = cross_load_eval(model_type, classes, h5_path,
+                                        x_val, y_val)
+            results[model_type]["keras"].append(keras_acc)
+            results[model_type]["jax"].append(jax_acc)
+            results[model_type]["cross"].append(cross_acc)
+
+    def fmt(vals):
+        vals = np.asarray(vals)
+        if len(vals) == 1:
+            return f"**{vals[0]:.4f}**"
+        return f"**{vals.mean():.4f} ± {vals.std(ddof=1):.4f}**"
+
     n_val = int(len(x) * args.val_split)
-    val_idx, train_idx = order[:n_val], order[n_val:]
-    x_train, y_train = x[train_idx], y[train_idx]
-    x_val, y_val = x[val_idx], y[val_idx]
-    print(f"train {len(x_train)} / val {len(x_val)} samples, "
-          f"{len(classes)} classes, features {x.shape[1:]}")
-
-    keras_acc, h5_path = train_keras(args, classes, x_train, y_train,
-                                     x_val, y_val)
-    jax_acc = train_jax(args, classes, x_train, y_train, x_val, y_val)
-    cross_acc = cross_load_eval(args, classes, h5_path, x_val, y_val)
-
-    print("\n== accuracy parity (final val top-1) ==")
-    print(f"| {args.model_type} ({len(classes)}-class synthetic, "
-          f"batch {args.batch_size}, adam {args.learning_rate}, "
-          f"{args.epochs} epochs) "
-          f"| Keras (reference arch): **{keras_acc:.4f}** "
-          f"| this framework: **{jax_acc:.4f}** "
-          f"| Keras H5 cross-loaded into JAX: **{cross_acc:.4f}** |")
+    print("\n== accuracy parity (final val top-1; "
+          f"{len(args.seeds)} seed(s), val n={n_val}) ==")
+    for model_type, r in results.items():
+        delta = np.abs(np.asarray(r["keras"]) - np.asarray(r["jax"]))
+        print(f"| {model_type} ({len(classes)}-class synthetic, "
+              f"batch {args.batch_size}, adam {args.learning_rate}, "
+              f"{args.epochs} epochs) "
+              f"| Keras (reference arch): {fmt(r['keras'])} "
+              f"| this framework: {fmt(r['jax'])} "
+              f"| Keras H5 cross-loaded into JAX: {fmt(r['cross'])} "
+              f"| mean |Keras−JAX|: {delta.mean():.4f} |")
 
 
-def train_keras(args, classes, x_train, y_train, x_val, y_val):
+def train_keras(args, model_type, seed, classes, x_train, y_train,
+                x_val, y_val):
     import tensorflow as tf
 
     from tpu_speech_commands.export.keras_interop import build_keras_model
 
-    tf.keras.utils.set_random_seed(args.seed)
-    model = build_keras_model(args.model_type, len(classes),
+    tf.keras.utils.set_random_seed(seed)
+    model = build_keras_model(model_type, len(classes),
                               n_features=x_train.shape[1],
                               feature_size=x_train.shape[2])
     model.compile(
@@ -121,13 +156,15 @@ def train_keras(args, classes, x_train, y_train, x_val, y_val):
         validation_data=(xv, y_val), shuffle=True, verbose=0,
     )
     acc = float(hist.history["val_accuracy"][-1])
-    h5_path = os.path.join(args.work_dir, "keras_trained.h5")
+    h5_path = os.path.join(args.work_dir,
+                           f"keras_{model_type}_s{seed}.h5")
     model.save(h5_path)
-    print(f"keras final val_accuracy: {acc:.4f}")
+    print(f"  keras final val_accuracy: {acc:.4f}")
     return acc, h5_path
 
 
-def train_jax(args, classes, x_train, y_train, x_val, y_val):
+def train_jax(args, model_type, seed, classes, x_train, y_train,
+              x_val, y_val):
     import jax
     import numpy as np
 
@@ -139,29 +176,28 @@ def train_jax(args, classes, x_train, y_train, x_val, y_val):
 
     tx = get_optimizer("adam", args.learning_rate, decay_type=None,
                        injectable=True)
-    model, state = create_train_state(args.model_type, len(classes), tx,
-                                      jax.random.PRNGKey(args.seed))
+    model, state = create_train_state(model_type, len(classes), tx,
+                                      jax.random.PRNGKey(seed))
     cfg = TrainerConfig(
         batch_size=args.batch_size, epochs=args.epochs,
         log_dir=os.path.join(args.work_dir, "jax_logs"),
-        log_tensorboard=False, seed=args.seed,
+        log_tensorboard=False, seed=seed,
         # keep the comparison a pure fit-loop contest, as model.fit has no
         # plateau/early-stop here (train.py only adds them via callbacks)
         use_plateau=False, early_stopping_patience=10 ** 9,
     )
-    trainer = Trainer(model, state, args.model_type, len(classes), cfg)
+    trainer = Trainer(model, state, model_type, len(classes), cfg)
     history = trainer.fit(
         Dataset(x_train, np.asarray(y_train, np.int32)),
         Dataset(x_val, np.asarray(y_val, np.int32)),
         verbose=False,
     )
     acc = history[-1].val_accuracy
-    print(f"jax   final val_accuracy: {acc:.4f}")
+    print(f"  jax   final val_accuracy: {acc:.4f}")
     return acc
 
 
-def cross_load_eval(args, classes, h5_path, x_val, y_val):
-    import jax
+def cross_load_eval(model_type, classes, h5_path, x_val, y_val):
     import jax.numpy as jnp
     import numpy as np
 
@@ -170,12 +206,12 @@ def cross_load_eval(args, classes, h5_path, x_val, y_val):
         features_to_input, get_model, score_fn,
     )
 
-    variables = load_keras_h5_weights(h5_path, args.model_type, len(classes))
-    model = get_model(args.model_type, len(classes))
-    x = features_to_input(jnp.asarray(x_val), args.model_type)
+    variables = load_keras_h5_weights(h5_path, model_type, len(classes))
+    model = get_model(model_type, len(classes))
+    x = features_to_input(jnp.asarray(x_val), model_type)
     scores = np.asarray(score_fn(model.apply(variables, x, train=False)))
     acc = float((scores.argmax(-1) == y_val).mean())
-    print(f"keras H5 -> JAX cross-load val_accuracy: {acc:.4f}")
+    print(f"  keras H5 -> JAX cross-load val_accuracy: {acc:.4f}")
     return acc
 
 

@@ -103,14 +103,19 @@ class SimpleCNN(nn.Module):
     bn_momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, skip_block1: bool = False):
         x = x.astype(self.dtype)
         sep = self.separable
         bm = self.bn_momentum
         # blocks: (features, strides, inline_relu, pool) — inline relu on
         # block 4 (both variants) and block 3 (lite variant only), matching
         # the reference activation placement.
-        x = _ConvBlock(16, 1, sep, False, True, self.dtype, bm, name="block1")(x, train)
+        # skip_block1: inference entry for the fused Pallas block-1 kernel
+        # (ops/pallas_cnn.py) — x is already the pooled (B, H/2, W/2, 16)
+        # activation; train still runs the full XLA graph.
+        if not skip_block1:
+            x = _ConvBlock(16, 1, sep, False, True, self.dtype, bm,
+                           name="block1")(x, train)
         x = _ConvBlock(32, 1, sep, False, True, self.dtype, bm, name="block2")(x, train)
         x = _ConvBlock(64, 2, sep, sep, False, self.dtype, bm, name="block3")(x, train)
         x = _ConvBlock(128, 1, sep, True, True, self.dtype, bm, name="block4")(x, train)
