@@ -33,7 +33,8 @@ BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 
 def bench(batch_size: int = 8192, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_gru",
-          use_pallas: bool = True, audio_dtype: str = "float32") -> float:
+          use_pallas: bool = True, audio_dtype: str = "float32",
+          fuse_conv1: bool = False) -> float:
     # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
     # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
     # 16384 compiles for many minutes through the tunnel for ~no gain)
@@ -69,10 +70,40 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
     model, variables = init_model(model_type, 5, jax.random.PRNGKey(0),
                                   batch_size=2, dtype=jnp.bfloat16)
 
-    def forward(variables, audio, gain):
-        feats = frontend(audio, gain)
-        x = features_to_input(feats, model_type)
-        return score_fn(model.apply(variables, x, train=False))
+    if fuse_conv1 == "classifier":
+        # whole-classifier megakernel: all conv blocks + dense head in ONE
+        # Pallas kernel — zero intermediate HBM traffic
+        # (ops/pallas_classifier.py)
+        from tpu_speech_commands.ops.pallas_classifier import (
+            make_fused_cnn_classifier,
+        )
+
+        fused_cls = make_fused_cnn_classifier(
+            variables, separable=(model_type == "simple_cnn_lite"),
+            batch_tile=16, compute_dtype=jnp.bfloat16,
+        )
+
+        def forward(variables, audio, gain):
+            feats = frontend(audio, gain)
+            return score_fn(fused_cls(feats))
+    elif fuse_conv1:
+        # CNN serving path with conv block 1 as a fused Pallas kernel
+        # (conv+bias+relu6+pool in VMEM — the pre-pool activation never
+        # touches HBM; ops/pallas_cnn.py)
+        from tpu_speech_commands.ops import make_fused_cnn_forward
+
+        fused_fwd = make_fused_cnn_forward(
+            model, variables, batch_tile=16, compute_dtype=jnp.bfloat16,
+        )
+
+        def forward(variables, audio, gain):
+            feats = frontend(audio, gain)
+            return score_fn(fused_fwd(feats))
+    else:
+        def forward(variables, audio, gain):
+            feats = frontend(audio, gain)
+            x = features_to_input(feats, model_type)
+            return score_fn(model.apply(variables, x, train=False))
 
     @jax.jit
     def forward_many(variables, audio):

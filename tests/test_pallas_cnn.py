@@ -112,3 +112,45 @@ def test_fused_block1_rejects_bad_shapes():
         fused(jnp.zeros((6, h, w, 1)))  # batch not a tile multiple
     with pytest.raises(ValueError):
         fused(jnp.zeros((4, 28, w, 1)))  # wrong spatial dims
+
+
+# -- whole-classifier megakernel ---------------------------------------------
+
+@pytest.mark.parametrize("model_type", ["simple_cnn", "simple_cnn_lite"])
+def test_fused_classifier_matches_full_apply(model_type):
+    """The all-blocks megakernel (ops/pallas_classifier.py) must reproduce
+    model.apply end to end: conv matrices, BN folding, the inline-relu
+    blocks' non-foldable epilogue order, pooling, flatten order, and both
+    dense layers."""
+    from tpu_speech_commands.ops.pallas_classifier import (
+        make_fused_cnn_classifier,
+    )
+
+    h, w = 30, 20
+    model, variables = _init_with_real_stats(model_type, 5, h, w, seed=2)
+    x = jax.random.normal(jax.random.PRNGKey(21), (8, h, w, 1))
+    fused = make_fused_cnn_classifier(
+        variables, separable=model.separable, n_features=h, feature_size=w,
+        batch_tile=4, interpret=True,
+    )
+    got = np.asarray(fused(x))
+    want = np.asarray(model.apply(variables, x, train=False))
+    assert got.shape == want.shape == (8, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_classifier_odd_height():
+    from tpu_speech_commands.ops.pallas_classifier import (
+        make_fused_cnn_classifier,
+    )
+
+    h, w = 31, 20
+    model, variables = _init_with_real_stats("simple_cnn", 7, h, w, seed=6)
+    x = jax.random.normal(jax.random.PRNGKey(23), (4, h, w, 1))
+    fused = make_fused_cnn_classifier(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    got = np.asarray(fused(x))
+    want = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
