@@ -1,0 +1,88 @@
+"""make_batch_scorer: the fused audio->scores serving path vs the plain
+XLA forward (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_speech_commands.optim import get_optimizer
+from tpu_speech_commands.params import pr
+from tpu_speech_commands.serving import make_batch_scorer
+from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+CLASSES = ["background", "left", "right", "up", "down"]
+
+
+def _make_checkpoint(tmp_path, model_type, feature_type="mfcc"):
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state(model_type, len(CLASSES), tx,
+                                  jax.random.PRNGKey(1))
+    path = str(tmp_path / f"{model_type}.npz")
+    save_checkpoint(path, state, {
+        "model_type": model_type, "num_classes": len(CLASSES),
+        "classes": CLASSES, "params": pr.to_dict(),
+        "feature_type": feature_type,
+    })
+    return path
+
+
+@pytest.fixture(scope="module")
+def audio_batch():
+    rng = np.random.default_rng(31)
+    t = np.arange(16000) / 16000.0
+    rows = [
+        0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(16000)
+        for f in (300, 700, 1100, 1500, 250, 950, 1250, 450)
+    ]
+    return np.stack(rows).astype(np.float32)
+
+
+@pytest.mark.parametrize("model_type",
+                         ["simple_cnn", "simple_cnn_lite", "simple_gru"])
+def test_scorer_matches_plain_forward(tmp_path, audio_batch, model_type):
+    ckpt = _make_checkpoint(tmp_path, model_type)
+    fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
+                              use_pallas=True)
+    assert fused.paths["frontend"].startswith("pallas")
+    if model_type.startswith("simple_cnn"):
+        assert fused.paths["classifier"] == "pallas-megakernel"
+    plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
+    assert plain.paths == {"frontend": "xla", "classifier": "xla"}
+
+    a = jnp.asarray(audio_batch)
+    got = np.asarray(fused(a))
+    want = np.asarray(plain(a))
+    assert got.shape == (8, len(CLASSES))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)  # softmax
+
+
+def test_scorer_int16_and_gain(tmp_path, audio_batch):
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn")
+    scorer = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
+                               use_pallas=True)
+    pcm = np.clip(audio_batch * 32768.0, -32768, 32767).astype(np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(
+        np.asarray(scorer(jnp.asarray(pcm))),
+        np.asarray(scorer(jnp.asarray(as_float))),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(scorer(jnp.asarray(as_float), 0.5)),
+        np.asarray(scorer(jnp.asarray(as_float * 0.5))),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_scorer_bark_model(tmp_path, audio_batch):
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn", feature_type="bark")
+    fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
+                              use_pallas=True)
+    plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
+    np.testing.assert_allclose(
+        np.asarray(fused(jnp.asarray(audio_batch))),
+        np.asarray(plain(jnp.asarray(audio_batch))),
+        rtol=1e-4, atol=1e-5,
+    )
