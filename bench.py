@@ -34,7 +34,7 @@ BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 def bench(batch_size: int = 8192, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_gru",
           use_pallas: bool = True, audio_dtype: str = "float32",
-          fuse_conv1: bool = False) -> float:
+          fuse_conv1: bool = False, classifier_tile: int = 16) -> float:
     # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
     # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
     # 16384 compiles for many minutes through the tunnel for ~no gain)
@@ -80,7 +80,7 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
 
         fused_cls = make_fused_cnn_classifier(
             variables, separable=(model_type == "simple_cnn_lite"),
-            batch_tile=16, compute_dtype=jnp.bfloat16,
+            batch_tile=classifier_tile, compute_dtype=jnp.bfloat16,
         )
 
         def forward(variables, audio, gain):
@@ -93,7 +93,8 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         from tpu_speech_commands.ops import make_fused_cnn_forward
 
         fused_fwd = make_fused_cnn_forward(
-            model, variables, batch_tile=16, compute_dtype=jnp.bfloat16,
+            model, variables, batch_tile=classifier_tile,
+            compute_dtype=jnp.bfloat16,
         )
 
         def forward(variables, audio, gain):

@@ -221,10 +221,14 @@ def make_fused_cnn_classifier(
             mid = x3
             prev = jnp.concatenate([zero, x3[:-1]], 0)
             nxt = jnp.concatenate([x3[1:], zero], 0)
-        else:  # stride 2: centers y=2k, neighbours from the odd rows
+        else:  # stride 2: centers y=2k, neighbours from the odd rows.
+            # even/odd row split via pad+reshape+static index — a strided
+            # slice here lowers to a (>2D) gather Mosaic rejects
             h_out_conv = _ceil_div(h_in, st.stride)
-            mid = x3[0::2]
-            odd = x3[1::2]
+            x3p = jnp.concatenate([x3, zero], 0) if h_in % 2 else x3
+            g = x3p.reshape(h_out_conv, 2, *x3.shape[1:])
+            mid = g[:, 0]                      # rows 0, 2, 4, ...
+            odd = g[:, 1][: h_in // 2]         # rows 1, 3, 5, ... (real)
             prev = jnp.concatenate([zero, odd], 0)[:h_out_conv]
             nxt = jnp.concatenate([odd, zero], 0)[:h_out_conv]
         k3 = jnp.concatenate([prev, mid, nxt], axis=2)  # (h', TB, 3*w*cin)
