@@ -86,6 +86,21 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         def forward(variables, audio, gain):
             feats = frontend(audio, gain)
             return score_fn(fused_cls(feats))
+    elif fuse_conv1 == "rnn":
+        # fused RNN classifier: hoisted per-gate input projections + the
+        # 30-step recurrence unrolled in VMEM (ops/pallas_rnn.py)
+        from tpu_speech_commands.ops.pallas_rnn import (
+            make_fused_rnn_classifier,
+        )
+
+        fused_rnn = make_fused_rnn_classifier(
+            variables, cell_type=model_type.removeprefix("simple_"),
+            batch_tile=classifier_tile, compute_dtype=jnp.bfloat16,
+        )
+
+        def forward(variables, audio, gain):
+            feats = frontend(audio, gain)
+            return score_fn(fused_rnn(feats))
     elif fuse_conv1:
         # CNN serving path with conv block 1 as a fused Pallas kernel
         # (conv+bias+relu6+pool in VMEM — the pre-pool activation never
