@@ -39,7 +39,8 @@ def audio_batch():
 
 
 @pytest.mark.parametrize("model_type",
-                         ["simple_cnn", "simple_cnn_lite", "simple_gru"])
+                         ["simple_cnn", "simple_cnn_lite", "simple_gru",
+                          "simple_lstm"])
 def test_scorer_matches_plain_forward(tmp_path, audio_batch, model_type):
     ckpt = _make_checkpoint(tmp_path, model_type)
     fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
@@ -47,6 +48,8 @@ def test_scorer_matches_plain_forward(tmp_path, audio_batch, model_type):
     assert fused.paths["frontend"].startswith("pallas")
     if model_type.startswith("simple_cnn"):
         assert fused.paths["classifier"] == "pallas-megakernel"
+    else:
+        assert fused.paths["classifier"] == "pallas-rnn"
     plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
     assert plain.paths == {"frontend": "xla", "classifier": "xla"}
 
@@ -74,6 +77,32 @@ def test_scorer_int16_and_gain(tmp_path, audio_batch):
         np.asarray(scorer(jnp.asarray(as_float * 0.5))),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("model_type", ["simple_cnn", "simple_gru"])
+def test_scorer_on_data_mesh_matches_single_device(tmp_path, audio_batch,
+                                                   model_type):
+    """mesh= shard_maps the whole fused forward over the 'data' axis;
+    per-shard results must equal the single-device scorer's."""
+    from tpu_speech_commands.parallel.mesh import make_mesh
+
+    ckpt = _make_checkpoint(tmp_path, model_type)
+    mesh = make_mesh()  # all 8 virtual devices on 'data'
+    assert mesh.shape["data"] == 8
+
+    sharded = make_batch_scorer(ckpt, batch_tile=1, interpret=True,
+                                use_pallas=True, mesh=mesh)
+    assert sharded.paths["parallel"] == "shard_map x8"
+    single = make_batch_scorer(ckpt, batch_tile=1, interpret=True,
+                               use_pallas=True)
+
+    a = jnp.asarray(audio_batch)  # batch 8 -> 1 window per device
+    np.testing.assert_allclose(
+        np.asarray(sharded(a)), np.asarray(single(a)),
+        rtol=1e-4, atol=1e-5,
+    )
+    with pytest.raises(ValueError):
+        sharded(a[:6])  # not divisible by the data axis
 
 
 def test_scorer_bark_model(tmp_path, audio_batch):

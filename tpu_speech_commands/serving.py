@@ -9,8 +9,9 @@ fastest eligible implementation of each stage:
   allows it (ops/pallas_frontend.py), else the XLA GEMM chain;
 - classifier: for the CNN families, the whole-classifier Pallas megakernel
   (all conv blocks + dense head in one kernel, zero intermediate HBM
-  traffic — ops/pallas_classifier.py); RNN families and ineligible
-  configs use model.apply.
+  traffic — ops/pallas_classifier.py); for simple_gru/simple_lstm, the
+  fused RNN kernel (hoisted input projections + VMEM-resident recurrence
+  — ops/pallas_rnn.py); ineligible configs use model.apply.
 
 Falling back is always silent-correct: every path computes the same
 scores (float32 parity ~1e-5; compute_dtype=bfloat16 mirrors the XLA
@@ -33,18 +34,35 @@ from .ops.pallas_frontend import _ct_eligible
 def make_batch_scorer(
     checkpoint_path: str,
     batch_tile: int = 16,
+    classifier_tile: int | None = None,
     compute_dtype=jnp.float32,
     use_pallas: bool | None = None,
     interpret: bool = False,
     jit: bool = True,
+    mesh=None,
 ):
     """Load a native .npz checkpoint and build audio -> scores.
 
     The returned callable takes (B, max_samples) float32 audio (or raw
-    int16 PCM) with B a multiple of batch_tile when a Pallas path is
-    active, plus an optional scalar `gain`.  Attributes: `.classes`,
-    `.num_classes`, `.model_type`, `.paths` (which implementation each
-    stage took).
+    int16 PCM) with B a multiple of the active tile sizes, plus an
+    optional scalar `gain`.  Attributes: `.classes`, `.num_classes`,
+    `.model_type`, `.paths` (which implementation each stage took).
+
+    batch_tile is the frontend kernel's grid tile (16 is the measured
+    optimum — ROADMAP.md).  classifier_tile is the megakernel's tile;
+    the two kernels have independent grids, and the megakernel wants a
+    much larger tile (measured: 16 -> 3.27M w/s, 128 -> 3.98M for
+    simple_cnn end to end; 256 exceeds the 16 MB VMEM scoped limit).
+    Defaults: 128 for both kernels (measured optimum for the CNN
+    megakernel; for the RNN kernel 256 ties 128 on GRU and exceeds
+    VMEM on LSTM).  When the batch is not a multiple of the tile, the
+    whole batch becomes one tile.
+
+    mesh: an optional `jax.sharding.Mesh` with a 'data' axis.  The whole
+    forward (frontend kernel + classifier) runs per batch shard under
+    `shard_map` — collective-free data parallelism over ICI, the serving
+    counterpart of the trainer's sharded step.  The batch must divide by
+    the data-axis size; tiles apply per shard.
     """
     from .export.inference_loader import load_native
     from .frontend import Frontend
@@ -96,13 +114,45 @@ def make_batch_scorer(
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
         # pr.feature_size already includes the use_delta doubling; the
-        # lowering's flatten check validates the dense shapes
-        classifier = make_fused_cnn_classifier(
-            variables, separable=(model_type == "simple_cnn_lite"),
-            batch_tile=batch_tile, interpret=interpret,
-            compute_dtype=compute_dtype,
-        )
+        # lowering's flatten check validates the dense shapes.  Tile
+        # selection is deferred to the first call (trace time) so small
+        # batches fall back to a batch-sized tile instead of erroring.
+        ct = classifier_tile or 128
+        _cache: dict = {}
+
+        def classifier(feats):
+            tile = ct if feats.shape[0] % ct == 0 else feats.shape[0]
+            fn = _cache.get(tile)
+            if fn is None:
+                fn = make_fused_cnn_classifier(
+                    variables,
+                    separable=(model_type == "simple_cnn_lite"),
+                    batch_tile=tile, interpret=interpret,
+                    compute_dtype=compute_dtype,
+                )
+                _cache[tile] = fn
+            return fn(feats)
+
         paths["classifier"] = "pallas-megakernel"
+    elif use_pallas and model_type in ("simple_gru", "simple_lstm"):
+        from .ops.pallas_rnn import make_fused_rnn_classifier
+
+        ct = classifier_tile or 128
+        cell = "gru" if model_type == "simple_gru" else "lstm"
+        _cache = {}
+
+        def classifier(feats):
+            tile = ct if feats.shape[0] % ct == 0 else feats.shape[0]
+            fn = _cache.get(tile)
+            if fn is None:
+                fn = make_fused_rnn_classifier(
+                    variables, cell_type=cell, batch_tile=tile,
+                    interpret=interpret, compute_dtype=compute_dtype,
+                )
+                _cache[tile] = fn
+            return fn(feats)
+
+        paths["classifier"] = "pallas-rnn"
     else:
         def classifier(feats):
             x = features_to_input(feats, model_type)
@@ -114,7 +164,45 @@ def make_batch_scorer(
         feats = frontend(audio, gain)
         return score_fn(classifier(feats))
 
-    jitted = jax.jit(run) if jit and not interpret else run
+    n_data = 1
+    if mesh is not None:
+        from .parallel.mesh import DATA_AXIS
+
+        n_data = int(mesh.shape.get(DATA_AXIS, 1))
+    if n_data > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+
+        # check_rep off: Pallas calls don't participate in shard_map's
+        # replication checking; variables ride in as closure constants
+        # (replicated on every device)
+        sharded = shard_map(
+            lambda a, g: run(a, g),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_rep=False,
+        )
+
+        def run_maybe_sharded(audio, gain=None):
+            if audio.shape[0] % n_data:
+                raise ValueError(
+                    f"batch {audio.shape[0]} not divisible by the "
+                    f"{n_data}-device data axis"
+                )
+            g = jnp.float32(1.0) if gain is None else jnp.asarray(
+                gain, jnp.float32
+            )
+            return sharded(audio, g)
+
+        paths["parallel"] = f"shard_map x{n_data}"
+    else:
+        run_maybe_sharded = run
+
+    jitted = jax.jit(run_maybe_sharded) if jit and not interpret \
+        else run_maybe_sharded
 
     def scorer(audio, gain=None):
         return jitted(audio, gain)
