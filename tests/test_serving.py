@@ -46,10 +46,11 @@ def test_scorer_matches_plain_forward(tmp_path, audio_batch, model_type):
     fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
                               use_pallas=True)
     assert fused.paths["frontend"].startswith("pallas")
-    if model_type.startswith("simple_cnn"):
-        assert fused.paths["classifier"] == "pallas-megakernel"
-    else:
-        assert fused.paths["classifier"] == "pallas-rnn"
+    expect = {"simple_cnn": "pallas-megakernel",
+              "simple_cnn_lite": "pallas-megakernel",
+              "simple_gru": "pallas-rnn",
+              "simple_lstm": "xla"}  # XLA scan measured fastest for LSTM
+    assert fused.paths["classifier"] == expect[model_type]
     plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
     assert plain.paths == {"frontend": "xla", "classifier": "xla"}
 

@@ -9,9 +9,10 @@ fastest eligible implementation of each stage:
   allows it (ops/pallas_frontend.py), else the XLA GEMM chain;
 - classifier: for the CNN families, the whole-classifier Pallas megakernel
   (all conv blocks + dense head in one kernel, zero intermediate HBM
-  traffic — ops/pallas_classifier.py); for simple_gru/simple_lstm, the
-  fused RNN kernel (hoisted input projections + VMEM-resident recurrence
-  — ops/pallas_rnn.py); ineligible configs use model.apply.
+  traffic — ops/pallas_classifier.py); for simple_gru, the fused RNN
+  kernel (hoisted input projections + VMEM-resident recurrence —
+  ops/pallas_rnn.py); simple_lstm and ineligible configs use
+  model.apply (measured fastest for the 4-gate LSTM).
 
 Falling back is always silent-correct: every path computes the same
 scores (float32 parity ~1e-5; compute_dtype=bfloat16 mirrors the XLA
@@ -134,11 +135,16 @@ def make_batch_scorer(
             return fn(feats)
 
         paths["classifier"] = "pallas-megakernel"
-    elif use_pallas and model_type in ("simple_gru", "simple_lstm"):
+    elif use_pallas and model_type == "simple_gru":
+        # simple_lstm deliberately stays on the XLA scan: measured at
+        # batch 8192 the 4-gate kernel runs 4.00M windows/s (4.11M with
+        # a lane-packed recurrence) vs 4.23M for XLA — the extra serial
+        # gate matmuls cost more than the scan's HBM round trips save.
+        # The GRU kernel wins (4.43M vs 4.39M) and is the default.
         from .ops.pallas_rnn import make_fused_rnn_classifier
 
         ct = classifier_tile or 128
-        cell = "gru" if model_type == "simple_gru" else "lstm"
+        cell = "gru"
         _cache = {}
 
         def classifier(feats):
