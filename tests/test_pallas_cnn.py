@@ -154,3 +154,25 @@ def test_fused_classifier_odd_height():
     got = np.asarray(fused(x))
     want = np.asarray(model.apply(variables, x, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(30, 40), (32, 20)])
+def test_fused_classifier_even_stride2_dims(h, w):
+    """Block 3 (stride 2) with an EVEN input dim: XLA SAME padding puts
+    the extra pad unit HIGH (pad_lo=0), unlike the odd-dim case's
+    symmetric pad_lo=1.  (30, 40) is the use_delta feature shape (block-3
+    width 10), (32, 20) hits an even block-3 height — both produced
+    wrong logits (max |d| ~0.3) before _same_pad_lo."""
+    from tpu_speech_commands.ops.pallas_classifier import (
+        make_fused_cnn_classifier,
+    )
+
+    model, variables = _init_with_real_stats("simple_cnn", 5, h, w, seed=8)
+    x = jax.random.normal(jax.random.PRNGKey(29), (4, h, w, 1))
+    fused = make_fused_cnn_classifier(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    got = np.asarray(fused(x))
+    want = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -62,6 +62,38 @@ def test_scorer_matches_plain_forward(tmp_path, audio_batch, model_type):
     np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)  # softmax
 
 
+def test_scorer_use_delta_cnn(tmp_path, audio_batch):
+    """use_delta: frontend takes pallas-ct+deltas and the megakernel sees
+    (30, 40) features — block-3 width 10 is EVEN, the asymmetric-SAME-pad
+    shape that produced ~0.3 logit errors before _same_pad_lo."""
+    pr.override({"use_delta": True})
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn")
+    fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
+                              use_pallas=True)
+    assert fused.paths["frontend"] == "pallas-ct+deltas"
+    assert fused.paths["classifier"] == "pallas-megakernel"
+    plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
+
+    a = jnp.asarray(audio_batch)
+    np.testing.assert_allclose(
+        np.asarray(fused(a)), np.asarray(plain(a)), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_scorer_handles_non_tile_multiple_batch(tmp_path, audio_batch):
+    """Any batch size works: kernels drop to gcd(batch, tile) tiles."""
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn")
+    scorer = make_batch_scorer(ckpt, batch_tile=4, classifier_tile=4,
+                               interpret=True, use_pallas=True)
+    plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
+    a = jnp.asarray(audio_batch[:6])  # gcd(6, 4) = 2
+    np.testing.assert_allclose(
+        np.asarray(scorer(a)), np.asarray(plain(a)), rtol=1e-4, atol=1e-5,
+    )
+    a1 = jnp.asarray(audio_batch[:1])  # gcd(1, 4) = 1
+    assert np.asarray(scorer(a1)).shape == (1, len(CLASSES))
+
+
 def test_scorer_int16_and_gain(tmp_path, audio_batch):
     ckpt = _make_checkpoint(tmp_path, "simple_cnn")
     scorer = make_batch_scorer(ckpt, batch_tile=4, interpret=True,

@@ -80,7 +80,10 @@ def main():
     for i, wav_file in enumerate(wav_files):
         print(f"\nPlaying ({i + 1}/{len(wav_files)}): {wav_file}")
         if args.info_only:
-            load_chunks(wav_file, args.chunk_size)
+            # header only — no need to read any frame data
+            with wave.open(wav_file, "rb") as wf:
+                print("\nAudio file info:")
+                show_audio_info(wf)
         else:
             wav_play(wav_file, args.chunk_size)
     print("\nDone")

@@ -52,6 +52,16 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _same_pad_lo(dim: int, stride: int, k: int = 3) -> int:
+    """XLA/TF SAME low-side padding: total = (out-1)*s + k - dim, low
+    half rounded DOWN (the extra unit pads high).  stride 1 / odd dims
+    give 1; stride 2 on an EVEN dim gives 0 — hard-coding 1 there was a
+    real wrong-logits bug for use_delta-shaped inputs."""
+    out = _ceil_div(dim, stride)
+    total = max((out - 1) * stride + k - dim, 0)
+    return total // 2
+
+
 @dataclass
 class _Stage:
     """One conv block, lowered: matmul matrix + epilogue constants."""
@@ -86,6 +96,7 @@ def _conv_matrix(w: np.ndarray, width: int, stride: int,
     or ([even|odd], xo, cout) when pack_pool (2x1 pool rides the lanes)."""
     cin, cout = w.shape[2], w.shape[3]
     w_conv = _ceil_div(width, stride)
+    pad_lo = _same_pad_lo(width, stride)
     half = w_conv // 2
     n_cols = 2 * half * cout if pack_pool else w_conv * cout
     mat = np.zeros((3 * width * cin, n_cols), np.float32)
@@ -99,7 +110,7 @@ def _conv_matrix(w: np.ndarray, width: int, stride: int,
             col0 = xout * cout
         for dy in range(3):
             for dx in range(3):
-                xin = stride * xout + dx - 1
+                xin = stride * xout + dx - pad_lo
                 if 0 <= xin < width:
                     row0 = dy * width * cin + xin * cin
                     mat[row0 : row0 + cin, col0 : col0 + cout] += w[
@@ -221,16 +232,23 @@ def make_fused_cnn_classifier(
             mid = x3
             prev = jnp.concatenate([zero, x3[:-1]], 0)
             nxt = jnp.concatenate([x3[1:], zero], 0)
-        else:  # stride 2: centers y=2k, neighbours from the odd rows.
-            # even/odd row split via pad+reshape+static index — a strided
-            # slice here lowers to a (>2D) gather Mosaic rejects
+        else:  # stride 2: even/odd row split via pad+reshape+static
+            # index — a strided slice here lowers to a (>2D) gather
+            # Mosaic rejects.  SAME pad_lo decides which parity holds
+            # the tap centers (see _same_pad_lo).
             h_out_conv = _ceil_div(h_in, st.stride)
             x3p = jnp.concatenate([x3, zero], 0) if h_in % 2 else x3
             g = x3p.reshape(h_out_conv, 2, *x3.shape[1:])
-            mid = g[:, 0]                      # rows 0, 2, 4, ...
-            odd = g[:, 1][: h_in // 2]         # rows 1, 3, 5, ... (real)
-            prev = jnp.concatenate([zero, odd], 0)[:h_out_conv]
-            nxt = jnp.concatenate([odd, zero], 0)[:h_out_conv]
+            if _same_pad_lo(h_in, st.stride) == 1:  # odd h_in
+                # dy taps rows 2k-1 / 2k / 2k+1
+                mid = g[:, 0]                   # rows 0, 2, 4, ...
+                odd = g[:, 1][: h_in // 2]      # rows 1, 3, 5, ... (real)
+                prev = jnp.concatenate([zero, odd], 0)[:h_out_conv]
+                nxt = jnp.concatenate([odd, zero], 0)[:h_out_conv]
+            else:  # even h_in: dy taps rows 2k / 2k+1 / 2k+2
+                prev = g[:, 0]                  # rows 0, 2, 4, ...
+                mid = g[:, 1]                   # rows 1, 3, 5, ...
+                nxt = jnp.concatenate([g[1:, 0], zero], 0)
         k3 = jnp.concatenate([prev, mid, nxt], axis=2)  # (h', TB, 3*w*cin)
         h_rows = k3.shape[0]
         k2 = k3.reshape(h_rows * batch_tile, k3.shape[2])

@@ -77,11 +77,14 @@ def select_training_frontend(
 
     frontend_fn has the (audio, gain=None) -> (B, n_features, feature_size)
     signature shared by both implementations (deltas applied when
-    p.use_delta).  `interpret=None` auto-enables Pallas interpret mode off
-    TPU (the virtual CPU mesh used by tests and the driver dryrun).
+    p.use_delta).  `interpret` defaults to False: off-TPU production runs
+    (train.py on a CPU/GPU backend) fall back to the fast XLA chain with
+    a notice rather than silently emulating the kernel in Pallas
+    interpret mode, which is orders of magnitude slower.  Tests and the
+    driver dryrun opt into interpret=True explicitly.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = False
     n_data = int(mesh.shape.get(DATA_AXIS, 1)) if mesh is not None else 1
     reasons = fused_frontend_blockers(
         p, batch_size, n_data, batch_tile, interpret

@@ -27,9 +27,34 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import math
+
 from .models import features_to_input, score_fn
 from .models.factory import is_cnn
 from .ops.pallas_frontend import _ct_eligible
+
+
+def _lazy_tiled(build, default_tile: int):
+    """Defer a kernel's batch-tile choice to trace time.
+
+    Uses the preferred tile when it divides the batch, else
+    gcd(batch, tile) — a smaller tile is always VMEM-safe (worst case 1,
+    which still computes correctly), unlike a whole-batch tile which can
+    exceed scoped VMEM for large awkward batches.  Deliberately NOT
+    cached: the builder usually runs inside a jit trace, so its jnp
+    constants belong to that trace — reusing the closure in a later
+    trace (a new batch shape) leaks tracers.  jit already caches the
+    whole scorer per input shape, so each distinct shape pays the
+    host-side lowering exactly once.
+    """
+
+    def call(x, *args, **kw):
+        b = x.shape[0]
+        tile = default_tile if b % default_tile == 0 \
+            else math.gcd(b, default_tile)
+        return build(tile)(x, *args, **kw)
+
+    return call
 
 
 def make_batch_scorer(
@@ -45,19 +70,19 @@ def make_batch_scorer(
     """Load a native .npz checkpoint and build audio -> scores.
 
     The returned callable takes (B, max_samples) float32 audio (or raw
-    int16 PCM) with B a multiple of the active tile sizes, plus an
-    optional scalar `gain`.  Attributes: `.classes`, `.num_classes`,
-    `.model_type`, `.paths` (which implementation each stage took).
+    int16 PCM) for any B, plus an optional scalar `gain`.  Attributes:
+    `.classes`, `.num_classes`, `.model_type`, `.paths` (which
+    implementation each stage took).
 
     batch_tile is the frontend kernel's grid tile (16 is the measured
-    optimum — ROADMAP.md).  classifier_tile is the megakernel's tile;
-    the two kernels have independent grids, and the megakernel wants a
-    much larger tile (measured: 16 -> 3.27M w/s, 128 -> 3.98M for
-    simple_cnn end to end; 256 exceeds the 16 MB VMEM scoped limit).
-    Defaults: 128 for both kernels (measured optimum for the CNN
-    megakernel; for the RNN kernel 256 ties 128 on GRU and exceeds
-    VMEM on LSTM).  When the batch is not a multiple of the tile, the
-    whole batch becomes one tile.
+    optimum — ROADMAP.md).  classifier_tile is the classifier kernel's
+    tile; the two kernels have independent grids, and the classifier
+    wants a much larger tile (measured: 16 -> 3.27M w/s, 128 -> 3.98M
+    for simple_cnn end to end; 256 exceeds the 16 MB VMEM scoped
+    limit).  Defaults: 128 for both classifier kernels (for the RNN
+    kernel 256 ties 128 on GRU and exceeds VMEM on LSTM).  A batch that
+    is not a multiple of a tile runs at gcd(batch, tile) for that
+    kernel — always VMEM-safe, slower for awkward batch sizes.
 
     mesh: an optional `jax.sharding.Mesh` with a 'data' axis.  The whole
     forward (frontend kernel + classifier) runs per batch shard under
@@ -78,27 +103,34 @@ def make_batch_scorer(
         use_pallas = interpret or jax.default_backend() == "tpu"
 
     paths = {}
-    if use_pallas and _ct_eligible(pr) and not pr.use_delta:
+    # NOTE: ops/training_frontend.select_training_frontend makes the
+    # analogous choice for the TRAIN step (where only the frontend is
+    # shard_map'd, tiles are fixed per batch, and fallbacks must print).
+    # Serving differs on each of those axes (whole-forward shard_map,
+    # trace-time gcd tiles, silent-correct fallbacks recorded in
+    # `.paths`), so the policies are kept side by side on the shared
+    # primitives (_ct_eligible / make_fused_frontend / add_deltas) —
+    # update both when eligibility rules change.
+    if use_pallas and _ct_eligible(pr):
         from .ops import make_fused_frontend
 
-        frontend = make_fused_frontend(
-            pr, feature_type=feature_type, batch_tile=batch_tile,
-            interpret=interpret,
+        fused = _lazy_tiled(
+            lambda t: make_fused_frontend(
+                pr, feature_type=feature_type, batch_tile=t,
+                interpret=interpret,
+            ),
+            batch_tile,
         )
-        paths["frontend"] = "pallas-ct"
-    elif use_pallas and _ct_eligible(pr):
-        from .frontend.dsp import add_deltas
-        from .ops import make_fused_frontend
+        if pr.use_delta:
+            from .frontend.dsp import add_deltas
 
-        fused = make_fused_frontend(
-            pr, feature_type=feature_type, batch_tile=batch_tile,
-            interpret=interpret,
-        )
+            def frontend(audio, gain=None):
+                return add_deltas(fused(audio, gain))
 
-        def frontend(audio, gain=None):
-            return add_deltas(fused(audio, gain))
-
-        paths["frontend"] = "pallas-ct+deltas"
+            paths["frontend"] = "pallas-ct+deltas"
+        else:
+            frontend = fused
+            paths["frontend"] = "pallas-ct"
     else:
         fe = Frontend(pr, feature_type=feature_type)
 
@@ -115,25 +147,15 @@ def make_batch_scorer(
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
         # pr.feature_size already includes the use_delta doubling; the
-        # lowering's flatten check validates the dense shapes.  Tile
-        # selection is deferred to the first call (trace time) so small
-        # batches fall back to a batch-sized tile instead of erroring.
-        ct = classifier_tile or 128
-        _cache: dict = {}
-
-        def classifier(feats):
-            tile = ct if feats.shape[0] % ct == 0 else feats.shape[0]
-            fn = _cache.get(tile)
-            if fn is None:
-                fn = make_fused_cnn_classifier(
-                    variables,
-                    separable=(model_type == "simple_cnn_lite"),
-                    batch_tile=tile, interpret=interpret,
-                    compute_dtype=compute_dtype,
-                )
-                _cache[tile] = fn
-            return fn(feats)
-
+        # lowering's flatten check validates the dense shapes
+        classifier = _lazy_tiled(
+            lambda t: make_fused_cnn_classifier(
+                variables, separable=(model_type == "simple_cnn_lite"),
+                batch_tile=t, interpret=interpret,
+                compute_dtype=compute_dtype,
+            ),
+            classifier_tile or 128,
+        )
         paths["classifier"] = "pallas-megakernel"
     elif use_pallas and model_type == "simple_gru":
         # simple_lstm deliberately stays on the XLA scan: measured at
@@ -143,21 +165,13 @@ def make_batch_scorer(
         # The GRU kernel wins (4.43M vs 4.39M) and is the default.
         from .ops.pallas_rnn import make_fused_rnn_classifier
 
-        ct = classifier_tile or 128
-        cell = "gru"
-        _cache = {}
-
-        def classifier(feats):
-            tile = ct if feats.shape[0] % ct == 0 else feats.shape[0]
-            fn = _cache.get(tile)
-            if fn is None:
-                fn = make_fused_rnn_classifier(
-                    variables, cell_type=cell, batch_tile=tile,
-                    interpret=interpret, compute_dtype=compute_dtype,
-                )
-                _cache[tile] = fn
-            return fn(feats)
-
+        classifier = _lazy_tiled(
+            lambda t: make_fused_rnn_classifier(
+                variables, cell_type="gru", batch_tile=t,
+                interpret=interpret, compute_dtype=compute_dtype,
+            ),
+            classifier_tile or 128,
+        )
         paths["classifier"] = "pallas-rnn"
     else:
         def classifier(feats):

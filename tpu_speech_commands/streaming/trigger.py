@@ -107,7 +107,11 @@ class TriggerDetectorArray:
         new_act = np.where(fired, self.refractory, new_act)
         if active is None:
             self.activation = new_act
-            self.record_index = indices
+            # copy: np.asarray is a no-copy view for int64 input, and a
+            # caller reusing its indices buffer in place next tick would
+            # otherwise rewrite our recorded classes before the streak
+            # comparison runs
+            self.record_index = indices.copy()
             return fired
         active = np.asarray(active, bool)
         self.activation = np.where(active, new_act, self.activation)
