@@ -34,7 +34,8 @@ BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 def bench(batch_size: int = 8192, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_gru",
           use_pallas: bool = True, audio_dtype: str = "float32",
-          fuse_conv1: bool = False, classifier_tile: int = 16) -> float:
+          fuse_conv1: bool = False, classifier_tile: int = 16,
+          handoff_dtype: str = "float32") -> float:
     # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
     # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
     # 16384 compiles for many minutes through the tunnel for ~no gain)
@@ -51,7 +52,13 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
     if use_pallas:
         from tpu_speech_commands.ops import make_fused_frontend
 
-        frontend = make_fused_frontend(pr, batch_tile=16)
+        # bfloat16 handoff halves the feature tensor's HBM round trip
+        # between the frontend and a bf16 Pallas classifier; the
+        # classifier rounds its matmul inputs to bf16 anyway, so the
+        # scores are bit-identical (tests/test_pallas_frontend.py)
+        frontend = make_fused_frontend(
+            pr, batch_tile=16, out_dtype=jnp.dtype(handoff_dtype)
+        )
     else:
         fe = Frontend(pr)
 
@@ -166,7 +173,8 @@ def main():
     # names the path that actually produced the number
     attempts = [
         ("fused Pallas CT-DFT MFCC + fused RNN classifier kernel",
-         dict(use_pallas=True, fuse_conv1="rnn", classifier_tile=128)),
+         dict(use_pallas=True, fuse_conv1="rnn", classifier_tile=128,
+              handoff_dtype="bfloat16")),
         ("fused Pallas CT-DFT MFCC + XLA scan classifier",
          dict(use_pallas=True)),
         ("XLA GEMM MFCC + XLA scan classifier",

@@ -171,6 +171,20 @@ def test_stream_server_demo(artifacts):
     assert "slot 0 <- srv_2.wav" in out or "slot 1 <- srv_2.wav" in out
 
 
+def test_bench_serving_cli(artifacts):
+    """bench_serving.py measures the make_batch_scorer surface (tiny run)."""
+    out = run_cli(
+        "tools/evaluation/bench_serving.py",
+        "--checkpoint", artifacts["ckpt"],
+        "--batch_size", "8", "--k_inner", "2", "--outer", "1",
+        "--no_pallas", "--compute_dtype", "float32",
+    ).stdout
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["unit"] == "windows/s"
+    assert line["value"] > 0
+    assert "simple_cnn_lite" in line["metric"]
+
+
 def test_eval_cli_with_onnx_model(artifacts):
     """eval.py accepts an .onnx model (reference 5-format eval matrix)."""
     from tpu_speech_commands.data.synthetic import make_synthetic_dataset

@@ -282,8 +282,9 @@ def make_fused_cnn_classifier(
         mats = [r[:] for r in refs[:-1]]
         out_ref = refs[-1]
         # batch-major (TB, H, W) -> frame-major (H, TB, W): the kernel's
-        # one sublane transpose
-        x3 = jnp.swapaxes(x_ref[:], 0, 1).astype(jnp.float32)
+        # one sublane transpose (upcast first — packed-bf16 sublane
+        # shuffles lower badly)
+        x3 = jnp.swapaxes(x_ref[:].astype(jnp.float32), 0, 1)
         mi = 0
         for st in stages:
             x3, mi = run_stage(st, x3, mats, mi)
@@ -371,6 +372,7 @@ def make_fused_cnn_classifier(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(x.astype(jnp.float32), *mat_devs)
+        )(x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32),
+          *mat_devs)
 
     return forward

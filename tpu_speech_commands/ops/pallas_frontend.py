@@ -226,11 +226,18 @@ def make_fused_frontend(
     interpret: bool = False,
     fast_math: bool = False,
     dft_mode: str = "auto",
+    out_dtype=jnp.float32,
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
     B must be a multiple of batch_tile.  Deltas (use_delta) are applied
     outside the kernel by the caller (frontend.dsp.add_deltas).
+
+    out_dtype: dtype of the emitted feature tensor.  The kernel computes
+    in float32 regardless; bfloat16 output halves the inter-kernel HBM
+    round trip when the consumer is a bf16 Pallas classifier (which would
+    round the features to bf16 at its first matmul anyway, so the handoff
+    loses no precision the classifier was going to keep).
 
     fast_math runs the DFT stage in bfloat16: the matmuls accumulate in
     float32 (preferred_element_type), but on the 'ct' path the stage-1
@@ -255,7 +262,7 @@ def make_fused_frontend(
             )
         return _trim_to_contract(
             _make_ct_frontend(p, feature_type, batch_tile, interpret,
-                              fast_math),
+                              fast_math, out_dtype),
             p,
         )
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
@@ -285,7 +292,11 @@ def make_fused_frontend(
         energy = safe_log(jnp.sum(power, -1, keepdims=True))
         out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
         # (T*TB, F) frame-major -> (TB, T, F)
-        out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
+        out_ref[:] = (
+            out.reshape(n_frames, batch_tile, n_mfcc)
+            .transpose(1, 0, 2)
+            .astype(out_dtype)
+        )
 
     matrices = tuple(jnp.asarray(m) for m in (cos, sin, filt, dct_t))
 
@@ -321,11 +332,11 @@ def make_fused_frontend(
                 (batch_tile, n_frames, n_mfcc), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize
-                + batch * n_frames * n_mfcc * 4,
+                + batch * n_frames * n_mfcc * jnp.dtype(out_dtype).itemsize,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
@@ -386,7 +397,8 @@ def _gain_smem(gain) -> jax.Array:
 
 
 def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
-                      interpret: bool, fast_math: bool):
+                      interpret: bool, fast_math: bool,
+                      out_dtype=jnp.float32):
     """Two-stage Cooley-Tukey GEMM-DFT variant of the fused frontend.
 
     Replaces the dense (W, bins) DFT matmul pair with:
@@ -499,7 +511,11 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         out = jnp.concatenate(
             [logs[:, n_filt : n_filt + 1], coeffs[:, 1:n_mfcc]], -1
         )
-        out_ref[:] = out.reshape(n_frames, batch_tile, n_mfcc).transpose(1, 0, 2)
+        out_ref[:] = (
+            out.reshape(n_frames, batch_tile, n_mfcc)
+            .transpose(1, 0, 2)
+            .astype(out_dtype)
+        )
 
     e2a_mat = jnp.asarray(e2a)
     e2b_mat = jnp.asarray(e2b)
@@ -550,11 +566,11 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                 (batch_tile, n_frames, n_mfcc), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize
-                + batch * n_frames * n_mfcc * 4,
+                + batch * n_frames * n_mfcc * jnp.dtype(out_dtype).itemsize,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,

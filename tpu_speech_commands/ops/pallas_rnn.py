@@ -123,11 +123,11 @@ def make_fused_rnn_classifier(
     def kernel(x_ref, *refs):
         mats = [r[:] for r in refs[:-1]]
         out_ref = refs[-1]
-        # batch-major (TB, T, D) -> frame-major (T*TB, D)
+        # batch-major (TB, T, D) -> frame-major (T*TB, D); upcast BEFORE
+        # the sublane transpose — packed-bf16 sublane shuffles lower badly
         x2 = (
-            jnp.swapaxes(x_ref[:], 0, 1)
+            jnp.swapaxes(x_ref[:].astype(jnp.float32), 0, 1)
             .reshape(T * batch_tile, feature_size)
-            .astype(jnp.float32)
         )
 
         # f32 operands on the MXU default to one bf16 pass; the 30-step
@@ -230,6 +230,7 @@ def make_fused_rnn_classifier(
                 transcendentals=batch * T * units * (2 * len(layers)),
             ),
             interpret=interpret,
-        )(x.astype(jnp.float32), *mat_devs)
+        )(x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32),
+          *mat_devs)
 
     return forward

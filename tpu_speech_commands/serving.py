@@ -111,13 +111,28 @@ def make_batch_scorer(
     # `.paths`), so the policies are kept side by side on the shared
     # primitives (_ct_eligible / make_fused_frontend / add_deltas) —
     # update both when eligibility rules change.
+    # bf16 feature handoff between the two kernels: halves the feature
+    # tensor's HBM round trip, and loses nothing — a bf16 Pallas
+    # classifier rounds its matmul inputs to bf16 anyway (scores are
+    # bit-identical; tests/test_serving.py).  Only when the classifier IS
+    # a Pallas kernel and no f32 delta post-processing sits in between.
+    pallas_classifier = use_pallas and (
+        is_cnn(model_type) or model_type == "simple_gru"
+    )
+    handoff_dtype = (
+        compute_dtype
+        if pallas_classifier and not pr.use_delta
+        and compute_dtype != jnp.float32
+        else jnp.float32
+    )
+
     if use_pallas and _ct_eligible(pr):
         from .ops import make_fused_frontend
 
         fused = _lazy_tiled(
             lambda t: make_fused_frontend(
                 pr, feature_type=feature_type, batch_tile=t,
-                interpret=interpret,
+                interpret=interpret, out_dtype=handoff_dtype,
             ),
             batch_tile,
         )
@@ -130,7 +145,10 @@ def make_batch_scorer(
             paths["frontend"] = "pallas-ct+deltas"
         else:
             frontend = fused
-            paths["frontend"] = "pallas-ct"
+            paths["frontend"] = (
+                "pallas-ct" if handoff_dtype == jnp.float32
+                else "pallas-ct(bf16-handoff)"
+            )
     else:
         fe = Frontend(pr, feature_type=feature_type)
 
