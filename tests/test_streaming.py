@@ -59,6 +59,15 @@ def test_decoder_encode_roundtrip():
         assert dec.decode(raw) == pytest.approx(expect, abs=0.05)
 
 
+def test_decoder_encode_degenerate_config_no_nan():
+    """zero-std threshold_config: encode must not 0/0-NaN (decode already
+    guards out_range == 0; encode returns the step boundary)."""
+    dec = ThresholdDecoder(((2, 0),), center=0.2)
+    out = dec.encode(0.5)
+    assert np.isfinite(out)
+    assert out == pytest.approx(dec.sigmoid(dec.min_out))
+
+
 def test_decoder_array():
     dec = ThresholdDecoder(((6, 4),), center=0.2)
     arr = np.array([0.1, 0.5, 0.9])
@@ -325,6 +334,34 @@ def test_listener_wav_replay(tmp_path, capsys):
     # one confidence bar per chunk, the final partial chunk zero-padded
     # (the reference scores the ragged wav tail too, listen.py:403)
     assert out.count("\n") == -(-len(audio) // 1024)
+
+
+def test_listener_int16_chunk_matches_bytes(tmp_path):
+    """process_chunk must decode int16 ndarrays like bytes input (/32768)
+    — an unscaled int16 array would produce garbage features silently."""
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.streaming import Listener
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    classes_path = tmp_path / "classes.txt"
+    classes_path.write_text("\n".join(CLASSES) + "\n")
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                  jax.random.PRNGKey(0))
+    ckpt = tmp_path / "model.npz"
+    save_checkpoint(str(ckpt), state,
+                    {"model_type": "simple_cnn_lite", "num_classes": len(CLASSES)})
+
+    rng = np.random.default_rng(7)
+    pcm = (rng.standard_normal(2048) * 4000).astype(np.int16)
+
+    a = Listener(model_path=str(ckpt), classes_path=str(classes_path))
+    b = Listener(model_path=str(ckpt), classes_path=str(classes_path))
+    for lo in range(0, 2048, 1024):
+        chunk = pcm[lo : lo + 1024]
+        s_bytes = a.process_chunk(chunk.tobytes())
+        s_int16 = b.process_chunk(chunk)
+    np.testing.assert_allclose(s_int16, s_bytes, rtol=1e-5, atol=1e-6)
 
 
 def test_stream_update_alt_config_matches_replica():

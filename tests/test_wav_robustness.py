@@ -37,6 +37,32 @@ def test_load_extensible_wav(tmp_path, rng):
     np.testing.assert_allclose(audio, samples, atol=2e-4)
 
 
+def test_wav_duration_samples_extensible_fallback(tmp_path, rng):
+    """Duration probing falls back to the RIFF parser for headers stdlib
+    `wave` rejects — same format support as load_wav."""
+    from tpu_speech_commands.data.wav import wav_duration_samples
+
+    path = str(tmp_path / "ext_dur.wav")
+    write_extensible_wav(path, 0.2 * rng.standard_normal(12345))
+    n, rate = wav_duration_samples(path)
+    assert (n, rate) == (12345, 16000)
+
+
+def test_audio_to_buffer_clips_full_scale():
+    """+1.0 must saturate to 32767, not wrap to -32768 (polarity glitch)."""
+    from tpu_speech_commands.data.wav import audio_to_buffer, buffer_to_audio
+
+    out = np.frombuffer(
+        audio_to_buffer(np.array([1.0, -1.0, 2.0, 0.5])), dtype="<i2"
+    )
+    assert out[0] == 32767 and out[2] == 32767
+    assert out[1] == -32768
+    # in-range values still round-trip through buffer_to_audio
+    assert buffer_to_audio(audio_to_buffer(np.array([0.5])))[0] == (
+        pytest.approx(0.5, abs=1e-4)
+    )
+
+
 def test_native_wav_reader_extensible(tmp_path, rng):
     """The C++ reader handles extensible wavs too (via speech_commands app)."""
     lib = os.path.join(REPO, "native", "build", "speech_commands")

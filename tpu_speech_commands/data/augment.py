@@ -43,8 +43,12 @@ def augment_batch(
     )
     out = audio * gain
 
-    # random time shift (roll with zero backfill keeps the fixed shape;
-    # commands sit mid-buffer so edge wrap is masked out)
+    # random time shift, zero backfill, truncation at the edges — the
+    # standard speech-commands recipe (±shift_max of the buffer).  Note
+    # commands sit at the buffer TAIL (pad_audio left-pads), so a
+    # positive shift can clip up to shift_max off a full-length word's
+    # ending; that truncation is part of the regularisation, same as the
+    # TF speech_commands ±100 ms shift on 1 s clips.
     max_shift = int(config.shift_max * n_samples)
     if max_shift > 0:
         shift = jax.random.randint(

@@ -75,7 +75,7 @@ def _jitted_frontend(frontend):
     try:
         fn = _JITTED_FRONTENDS.get(frontend)
     except TypeError:  # unhashable / not weakref-able callable
-        fn = None
+        fn = getattr(frontend, "_tsc_jitted", None)
     if fn is None:
         import jax
 
@@ -88,6 +88,10 @@ def _jitted_frontend(frontend):
             _JITTED_FRONTENDS[frontend] = fn
         except TypeError:  # unhashable / not weakref-able callable
             fn = jax.jit(lambda a: frontend(a))
+            try:  # cache on the object so repeat calls don't retrace
+                frontend._tsc_jitted = fn
+            except AttributeError:
+                pass  # truly uncacheable (slots/frozen): retrace per call
     return fn
 
 
@@ -168,6 +172,12 @@ def get_audio_dataset(
     y = np.concatenate(ys).astype(np.int32)
     if val_split is None:
         return Dataset(x, y)
+    return _shuffled_split(x, y, val_split, seed)
+
+
+def _shuffled_split(x, y, val_split: float, seed: int):
+    """(train, val) Datasets via a shuffled split (reference uses sklearn
+    train_test_split, data.py:71-77)."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(x))
     n_val = int(round(len(x) * val_split))
@@ -259,13 +269,7 @@ def get_dataset(
 
     if val_split is None:
         return Dataset(x, y)
-
-    # shuffled split (reference uses sklearn train_test_split, data.py:71-77)
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(len(x))
-    n_val = int(round(len(x) * val_split))
-    val_idx, train_idx = perm[:n_val], perm[n_val:]
-    return Dataset(x[train_idx], y[train_idx]), Dataset(x[val_idx], y[val_idx])
+    return _shuffled_split(x, y, val_split, seed)
 
 
 def batch_iterator(

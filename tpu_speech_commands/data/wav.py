@@ -22,10 +22,15 @@ def buffer_to_audio(buffer: bytes) -> np.ndarray:
 
 
 def audio_to_buffer(audio: np.ndarray) -> bytes:
-    """float audio -> raw mono 16-bit LE PCM bytes (inverse of buffer_to_audio)."""
+    """float audio -> raw mono 16-bit LE PCM bytes (inverse of buffer_to_audio).
+
+    Clamped to the int16 range: without it a full-scale +1.0 sample
+    (32768) wraps to -32768 — a polarity glitch save_audio already
+    guards against."""
     if pr.sample_depth != 2:
         raise ValueError("only support 16-bit sample depth.")
-    return (np.asarray(audio) * INT16_SCALE).astype("<i2").tobytes()
+    scaled = np.clip(np.asarray(audio) * INT16_SCALE, -32768, 32767)
+    return scaled.astype("<i2").tobytes()
 
 
 def save_audio(filename: str, audio: np.ndarray, sample_rate: int | None = None):
@@ -130,6 +135,14 @@ def _parse_riff(path: str):
 
 
 def wav_duration_samples(path: str) -> tuple[int, int]:
-    """(n_frames, sample_rate) without decoding the payload."""
-    with wave.open(path, "rb") as wf:
-        return wf.getnframes(), wf.getframerate()
+    """(n_frames, sample_rate) without decoding the payload.
+
+    Falls back to the RIFF parser for headers stdlib `wave` rejects
+    (e.g. WAVE_FORMAT_EXTENSIBLE) so the files load_wav accepts can
+    also be probed."""
+    try:
+        with wave.open(path, "rb") as wf:
+            return wf.getnframes(), wf.getframerate()
+    except (wave.Error, EOFError):
+        channels, bps, rate, data = _parse_riff(path)
+        return len(data) // (channels * bps), rate

@@ -55,7 +55,7 @@ def chop_array(arr, window_size, hop_size):
     Returns a list of views so callers can np.array() or iterate.
     """
     arr = np.asarray(arr)
-    n_frames = max(0, 1 + (len(arr) - window_size) // hop_size) if len(arr) >= window_size else 0
+    n_frames = 1 + (len(arr) - window_size) // hop_size if len(arr) >= window_size else 0
     return [arr[t * hop_size : t * hop_size + window_size] for t in range(n_frames)]
 
 

@@ -69,6 +69,8 @@ class ThresholdDecoder:
             cp = threshold * self.center * 2
         else:
             cp = (threshold - 0.5) * 2 * (1 - self.center) + self.center
+        if self.out_range == 0:  # degenerate config: cd is empty (0/0 NaN)
+            return self.sigmoid(self.min_out)
         ratio = np.searchsorted(self.cd, cp) / len(self.cd)
         return self.sigmoid(self.min_out + self.out_range * ratio)
 

@@ -106,16 +106,29 @@ class Listener:
             "update_vectors is only meaningful for external-format models; "
             "native models run the fused chunk->scores step (process_chunk)"
         )
-        audio = buffer_to_audio(chunk) if isinstance(chunk, bytes) else chunk
+        audio = self._decode_chunk(chunk)
         self.state, feats = self._step(self.state, jnp.asarray(audio, jnp.float32))
         return np.asarray(feats)[..., None]
+
+    @staticmethod
+    def _decode_chunk(chunk: bytes | np.ndarray) -> np.ndarray:
+        """bytes or ndarray chunk -> float audio in [-1, 1).
+
+        int16 ndarrays get the same /32768 PCM decode as bytes input —
+        without it an int16 array would enter the ring buffer 32768x too
+        large and silently produce garbage features."""
+        if isinstance(chunk, bytes):
+            return buffer_to_audio(chunk)
+        chunk = np.asarray(chunk)
+        if chunk.dtype == np.int16:
+            return chunk.astype(np.float32) / 32768.0
+        return chunk
 
     def process_chunk(self, chunk: bytes | np.ndarray) -> np.ndarray:
         """Chunk -> class scores (softmax)."""
         import jax.numpy as jnp
 
-        audio = buffer_to_audio(chunk) if isinstance(chunk, bytes) else chunk
-        audio = jnp.asarray(audio, jnp.float32)
+        audio = jnp.asarray(self._decode_chunk(chunk), jnp.float32)
         if self._external is None:
             self.state, scores = self._step(self.state, audio)
             return np.asarray(scores)
@@ -249,6 +262,7 @@ class Listener:
         except KeyboardInterrupt:
             pass
         finally:
+            self._mic_mode = False
             stream.stop_stream()
             stream.close()
             p.terminate()
