@@ -240,7 +240,13 @@ tsc_frontend_t tsc_frontend_create(int sample_rate, int window_samples,
   cfg.n_mfcc = n_mfcc;
   cfg.use_delta = use_delta != 0;
   cfg.bark = bark != 0;
-  return new tsc::Frontend(cfg);
+  try {
+    return new tsc::Frontend(cfg);
+  } catch (const std::exception&) {
+    // never unwind across the extern "C"/ctypes boundary (UB -> abort);
+    // the Python binding raises on the nullptr instead
+    return nullptr;
+  }
 }
 
 void tsc_frontend_destroy(tsc_frontend_t fe) {

@@ -128,6 +128,23 @@ NativeModel NativeModel::load(const std::string& path) {
       if (!mixture.empty()) m.threshold_config = std::move(mixture);
     }
   }
+
+  // cross-check meta num_classes against the real head width: the C API
+  // caller sizes its score buffer from num_classes, so a mismatch would
+  // let predict() memcpy past the buffer (heap corruption), defeating
+  // the loader hardening above
+  auto head = m.tensors.find("params/score_predict/bias");
+  if (head != m.tensors.end()) {
+    const int head_width = static_cast<int>(head->second.size());
+    if (m.num_classes <= 0) {
+      m.num_classes = head_width;
+    } else if (m.num_classes != head_width) {
+      throw std::runtime_error(
+          "meta num_classes " + std::to_string(m.num_classes) +
+          " != score_predict head width " + std::to_string(head_width) +
+          " in " + path);
+    }
+  }
   return m;
 }
 

@@ -9,6 +9,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstddef>
+#include <stdexcept>
 #include <string>
 #include <utility>
 #include <vector>
@@ -22,6 +23,10 @@ class ThresholdDecoder {
                    double min_z = -4.0, double max_z = 4.0)
       : center_(center) {
     double lo = 1e30, hi = -1e30;
+    for (const auto& ms : mu_stds) {
+      if (ms.second < 0)  // python twin raises at construction too
+        throw std::invalid_argument("threshold_config std must be >= 0");
+    }
     for (const auto& ms : mu_stds) {
       lo = std::min(lo, ms.first + min_z * ms.second);
       hi = std::max(hi, ms.first + max_z * ms.second);
@@ -52,7 +57,7 @@ class ThresholdDecoder {
   double decode(double raw) const {
     if (raw == 1.0 || raw == 0.0) return raw;
     double cp;
-    if (out_range_ == 0) {
+    if (out_range_ <= 0 || cd_.empty()) {  // degenerate config: step fn
       cp = raw > min_out_ ? 1.0 : 0.0;
     } else {
       double ratio = (asigmoid(raw) - min_out_) / out_range_;

@@ -16,6 +16,7 @@
 #include "dsp.h"
 #include "model.h"
 #include "parallel.h"
+#include "stream_runtime.h"
 #include "wav.h"
 
 using Clock = std::chrono::steady_clock;
@@ -55,6 +56,7 @@ int main(int argc, char** argv) {
   }
 
   tsc::set_num_threads(threads);
+  try {
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
   tsc::WavData wav = tsc::read_wav(wav_path);
   if (wav.sample_rate != model.sample_rate) {
@@ -74,16 +76,10 @@ int main(int argc, char** argv) {
               audio.end() - n);
   }
 
-  tsc::FrontendConfig cfg;
-  cfg.sample_rate = model.sample_rate;
-  cfg.window_samples = model.window_samples;
-  cfg.hop_samples = model.hop_samples;
-  cfg.n_fft = model.n_fft;
-  cfg.n_filt = model.n_filt;
-  cfg.n_mfcc = model.n_mfcc;
-  cfg.use_delta = model.use_delta;
-  cfg.bark = model.bark;
-  tsc::Frontend frontend(cfg);
+  // one model->frontend mapping shared with the streaming apps: a new
+  // FrontendConfig field added in only one place would silently split
+  // the single-shot and streaming feature paths
+  tsc::Frontend frontend(tsc::frontend_config_for(model));
 
   auto t0 = Clock::now();
   const int fs = frontend.feature_size();
@@ -133,4 +129,9 @@ int main(int argc, char** argv) {
     std::printf("%s: %.6f\n", name.c_str(), scores[idx]);
   }
   return 0;
+  } catch (const std::exception& e) {
+    // clean rejection instead of std::terminate/SIGABRT on bad inputs
+    std::fprintf(stderr, "error: %s\n", e.what());
+    return 1;
+  }
 }

@@ -31,6 +31,14 @@ static snd_pcm_t* prepare_alsa(const char* device, int rate, int chunk) {
   snd_pcm_hw_params_set_channels(pcm, hw, 1);
   unsigned int r = rate;
   snd_pcm_hw_params_set_rate_near(pcm, hw, &r, nullptr);
+  if (r != static_cast<unsigned int>(rate)) {
+    // a device granting e.g. 48 kHz would feed time-stretched audio
+    // through a 16 kHz frontend — refuse instead of silently misscoring
+    std::fprintf(stderr, "device granted rate %u != model rate %d\n", r,
+                 rate);
+    snd_pcm_close(pcm);
+    return nullptr;
+  }
   snd_pcm_uframes_t period = chunk;
   snd_pcm_hw_params_set_period_size_near(pcm, hw, &period, nullptr);
   snd_pcm_uframes_t buffer = rate / 2;  // <= 0.5 s
@@ -90,6 +98,7 @@ int main(int argc, char** argv) {
     return 2;
   }
 
+  try {
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
   // same bounds as the wav-replay app (and the Python streamer's asserts);
   // an unchecked oversized chunk would wrap the ring-buffer memmove size
@@ -120,4 +129,9 @@ int main(int argc, char** argv) {
               "short_reads=%ld\n",
               stats.chunks, stats.overruns_recovered, stats.short_reads);
   return stats.failed ? 1 : 0;
+  } catch (const std::exception& e) {
+    // clean rejection instead of std::terminate/SIGABRT on bad inputs
+    std::fprintf(stderr, "error: %s\n", e.what());
+    return 1;
+  }
 }

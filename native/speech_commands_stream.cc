@@ -53,6 +53,7 @@ int main(int argc, char** argv) {
   }
 
   tsc::set_num_threads(threads);
+  try {
   tsc::NativeModel model = tsc::NativeModel::load(model_path);
   tsc::WavData wav = tsc::read_wav(wav_path);
   if (wav.sample_rate != model.sample_rate) {
@@ -68,9 +69,20 @@ int main(int argc, char** argv) {
   }
 
   tsc::StreamRuntime runtime(model, chunk_size, sensitivity, trigger_level);
-  const int n_chunks = static_cast<int>(wav.samples.size()) / chunk_size;
+  // zero-pad the ragged tail to a full chunk instead of dropping it —
+  // same contract as the python listener's run_wav (a keyword ending in
+  // the final partial chunk must still be scored)
+  const int n_chunks =
+      static_cast<int>((wav.samples.size() + chunk_size - 1) / chunk_size);
+  std::vector<float> tail;
   for (int ci = 0; ci < n_chunks; ++ci) {
-    const float* chunk = &wav.samples[static_cast<size_t>(ci) * chunk_size];
+    const size_t lo = static_cast<size_t>(ci) * chunk_size;
+    const float* chunk = &wav.samples[lo];
+    if (lo + chunk_size > wav.samples.size()) {
+      tail.assign(chunk_size, 0.0f);
+      std::copy(wav.samples.begin() + lo, wav.samples.end(), tail.begin());
+      chunk = tail.data();
+    }
     const tsc::StreamRuntime::Step step = runtime.step(chunk);
     print_bar(step.label, step.score, sensitivity, step.background);
     if (step.triggered)
@@ -81,4 +93,9 @@ int main(int argc, char** argv) {
           static_cast<int64_t>(1e6 * chunk_size / model.sample_rate)));
   }
   return 0;
+  } catch (const std::exception& e) {
+    // clean rejection instead of std::terminate/SIGABRT on bad inputs
+    std::fprintf(stderr, "error: %s\n", e.what());
+    return 1;
+  }
 }

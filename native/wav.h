@@ -4,6 +4,7 @@
 // deployment contract (mono 16 kHz 16-bit PCM, speech_commands.h:186-211).
 #pragma once
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -23,6 +24,9 @@ struct WavData {
 inline WavData read_wav(const std::string& path) {
   std::ifstream f(path, std::ios::binary);
   if (!f) throw std::runtime_error("cannot open wav: " + path);
+  f.seekg(0, std::ios::end);
+  const uint64_t file_size = static_cast<uint64_t>(f.tellg());
+  f.seekg(0, std::ios::beg);
   char riff[4], wave[4];
   uint32_t riff_size = 0;
   f.read(riff, 4);
@@ -63,10 +67,19 @@ inline WavData read_wav(const std::string& path) {
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       if (!have_fmt) throw std::runtime_error("wav data before fmt chunk");
-      std::vector<char> raw(size);
-      f.read(raw.data(), size);
+      // bound the allocation by the bytes actually left in the file: a
+      // crafted size field (up to 4 GiB) must not drive the allocation
+      const uint64_t pos = static_cast<uint64_t>(f.tellg());
+      const uint64_t remaining = file_size > pos ? file_size - pos : 0;
+      const uint32_t to_read =
+          static_cast<uint32_t>(std::min<uint64_t>(size, remaining));
+      std::vector<char> raw(to_read);
       // tolerate a truncated final chunk: decode only the bytes present
-      const size_t got = static_cast<size_t>(f.gcount());
+      size_t got = 0;
+      if (to_read > 0) {
+        f.read(raw.data(), to_read);
+        got = static_cast<size_t>(f.gcount());
+      }
       const int bytes = wav.bits_per_sample / 8;
       const size_t n = got / bytes;
       wav.samples.resize(n);

@@ -173,6 +173,71 @@ def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
     assert out.count("\n") >= len(audio) // 1024
 
 
+def _export_with_meta(tmp_path, meta_overrides, name="m"):
+    """Checkpoint + .tscm with patched meta fields (hostile-meta probes)."""
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                  jax.random.PRNGKey(2))
+    meta = {"model_type": "simple_cnn_lite", "num_classes": len(CLASSES),
+            "classes": CLASSES, "params": pr.to_dict()}
+    meta.update(meta_overrides)
+    ckpt = str(tmp_path / f"{name}.npz")
+    save_checkpoint(ckpt, state, meta)
+    blob = str(tmp_path / f"{name}.tscm")
+    export_native(ckpt, blob)
+    return blob
+
+
+def test_native_stream_app_scores_ragged_tail(tmp_path, audio):
+    """The wav-replay app must zero-pad and score the final partial chunk
+    like the python listener, not drop it (ceil(n/chunk) bars)."""
+    from tpu_speech_commands.data.wav import save_audio
+
+    blob = _export_with_meta(tmp_path, {})
+    wav = str(tmp_path / "ragged.wav")
+    save_audio(wav, audio[: 16000 - 300])  # 15700 = 15*1024 + 340
+
+    stream_app = os.path.join(REPO, "native", "build", "speech_commands_stream")
+    out = subprocess.run(
+        [stream_app, "--model", blob, "--wav", wav],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    bars = [l for l in out.splitlines() if not l.startswith("command")]
+    assert len(bars) == -(-(16000 - 300) // 1024)
+
+
+def test_native_loader_rejects_num_classes_mismatch(tmp_path):
+    """meta num_classes must match the score_predict head width: the C API
+    caller sizes its scores buffer from it (heap-safety cross-check)."""
+    from tpu_speech_commands.native_binding import NativeModel
+
+    blob = _export_with_meta(tmp_path, {"num_classes": 10}, name="wide")
+    with pytest.raises(RuntimeError, match="failed to load"):
+        NativeModel(blob)
+
+
+def test_native_stream_app_rejects_negative_threshold_std(tmp_path, audio):
+    """A negative std in threshold_config must be a clean rejection (the
+    python decoder raises at construction; the C++ used to read OOB)."""
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.params import pr
+
+    params = dict(pr.to_dict(), threshold_config=[[6.0, -4.0]])
+    blob = _export_with_meta(tmp_path, {"params": params}, name="negstd")
+    wav = str(tmp_path / "a.wav")
+    save_audio(wav, audio)
+    stream_app = os.path.join(REPO, "native", "build", "speech_commands_stream")
+    out = subprocess.run([stream_app, "--model", blob, "--wav", wav],
+                         capture_output=True, text=True)
+    assert out.returncode == 1  # error path, not SIGABRT (-6)
+    assert "threshold_config" in out.stderr
+
+
 def test_native_app_runs_bark_model(tmp_path, audio):
     """A bark-trained export must select the BFCC frontend in the C++ app
     (model.cc reads meta feature_type) and classify end to end."""

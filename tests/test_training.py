@@ -170,6 +170,28 @@ def test_eval_confusion_matrix(tmp_path):
     assert os.path.exists(tmp_path / "confusion_matrix.png")
 
 
+def test_eval_squeezes_channelized_features_for_rnn(tmp_path):
+    """(N, T, F, 1) channelised features (the update_vectors contract)
+    into an RNN eval must squeeze the axis like inference_loader, not
+    shape-error."""
+    from tpu_speech_commands.data.dataset import Dataset
+
+    ds3 = toy_dataset(n_per_class=4)
+    ds4 = Dataset(ds3.x[..., None], ds3.y)
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    variables = {"params": state.params}  # RNNs carry no batch stats
+    kw = dict(batch_size=8, save_plot=False, verbose=False)
+    acc4, conf4 = evaluate_accuracy(
+        model, variables, ds4, "simple_gru", CLASSES, **kw
+    )
+    acc3, conf3 = evaluate_accuracy(
+        model, variables, ds3, "simple_gru", CLASSES, **kw
+    )
+    assert acc3 == acc4
+    np.testing.assert_array_equal(conf3, conf4)
+
+
 def test_eval_chunked_staging_matches_single_dispatch(tmp_path, monkeypatch):
     """Eval sets beyond the staging cap run as several scan dispatches;
     accuracy and confusion must be identical to the one-dispatch path."""

@@ -158,6 +158,42 @@ def test_native_model_loader_rejects_truncated_tensor(tmp_path):
         NativeModel(str(cut))
 
 
+def test_native_app_bounded_alloc_on_huge_data_size(tmp_path, rng):
+    """A crafted data-chunk size near 4 GiB must not drive the allocation
+    (bounded by the bytes actually in the file) — decode what is present
+    instead of bad_alloc/SIGABRT."""
+    app = os.path.join(REPO, "native", "build", "speech_commands")
+    if not os.path.exists(app):
+        pytest.skip("native apps not built")
+    import jax
+
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
+                                  "classes": ["background", "a", "b"],
+                                  "params": pr.to_dict()})
+    blob = str(tmp_path / "m.tscm")
+    export_native(ckpt, blob)
+
+    pcm = (0.1 * rng.standard_normal(16000) * 32767).astype("<i2").tobytes()
+    bad = tmp_path / "huge.wav"
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    with open(bad, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 0xFFFFFFF0) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", 0xFFFFFFF0) + pcm)  # lying size
+    out = subprocess.run([app, "--model", blob, "--wav", str(bad)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0  # decoded the 16000 real samples
+    assert "background" in out.stdout or ":" in out.stdout
+
+
 def test_native_app_rejects_malformed_fmt_chunk(tmp_path, rng):
     """A wav whose fmt chunk is shorter than 16 bytes must be refused
     (the field reads would land out of bounds), not crash the app."""

@@ -89,6 +89,10 @@ def evaluate_accuracy(
     x_np = np.asarray(ds.x, np.float32)
     if x_np.ndim == 3 and is_cnn(model_type):
         x_np = x_np[..., None]
+    elif x_np.ndim == 4 and not is_cnn(model_type):
+        # channelised (N, T, F, 1) features (the update_vectors contract)
+        # into an RNN: squeeze the axis like inference_loader._adapt_rank
+        x_np = x_np[..., 0]
     x_all = np.zeros((n_pad,) + x_np.shape[1:], np.float32)
     x_all[:n] = x_np
     y_all = np.zeros(n_pad, np.int32)
