@@ -170,6 +170,41 @@ def test_eval_confusion_matrix(tmp_path):
     assert os.path.exists(tmp_path / "confusion_matrix.png")
 
 
+def test_guard_rails():
+    """Construction-time rejections: injectable+schedule (plateau scale
+    would be silently reverted), bad background_bias, zero-device mesh,
+    max_keep=0 deletes everything."""
+    from tpu_speech_commands.losses import background_bias_weights
+    from tpu_speech_commands.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="injectable"):
+        get_optimizer("adam", 1e-3, decay_type="cosine", injectable=True)
+    with pytest.raises(ValueError, match="background_bias"):
+        background_bias_weights(1.0, 5)
+    with pytest.raises(ValueError, match="2 classes"):
+        background_bias_weights(0.5, 1)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_model=64)  # > the 8-device test mesh: n_data floors to 0
+
+
+def test_checkpoint_max_keep_zero(tmp_path):
+    """max_keep=0 must keep NO epoch checkpoints (ckpts[:-0] kept all)."""
+    from types import SimpleNamespace
+
+    from tpu_speech_commands.training.checkpoints import CheckpointManager
+
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path), max_keep=0)
+    for ep in range(3):
+        em = SimpleNamespace(epoch=ep, loss=1.0, accuracy=0.5,
+                             val_loss=1.0, val_accuracy=0.5 + ep * 0.1)
+        mgr.save_epoch(state, em)
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "ep*.npz")) == []
+
+
 def test_eval_squeezes_channelized_features_for_rnn(tmp_path):
     """(N, T, F, 1) channelised features (the update_vectors contract)
     into an RNN eval must squeeze the axis like inference_loader, not

@@ -40,7 +40,10 @@ def background_bias_weights(bias: float, num_classes: int) -> np.ndarray:
     """Class-weight vector for --background_bias (train.py:65-71):
     [bias] + [(1-bias)/(C-1)] * (C-1).  bias=0.99 puts 99% of the loss mass
     on the background class to suppress false positives."""
-    assert 0.0 < bias < 1.0, "background_bias should be in (0, 1)"
+    if not 0.0 < bias < 1.0:  # not assert: python -O must still reject
+        raise ValueError("background_bias should be in (0, 1)")
+    if num_classes < 2:
+        raise ValueError("background_bias needs at least 2 classes")
     rest = (1.0 - bias) / (num_classes - 1)
     return np.array([bias] + [rest] * (num_classes - 1), dtype=np.float32)
 

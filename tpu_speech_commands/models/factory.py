@@ -57,17 +57,21 @@ def input_shape(model_type: str, batch_size: int | None = None, params=None):
 
 
 def features_to_input(features: jax.Array, model_type: str) -> jax.Array:
-    """(B, T, F) frontend output -> model input (adds channel dim for CNNs)."""
-    if is_cnn(model_type):
+    """(B, T, F) frontend output -> model input (adds channel dim for CNNs).
+
+    Idempotent on already-channelised (B, T, F, 1) input; works on numpy
+    arrays too (the trainer's host-side staging uses it)."""
+    if is_cnn(model_type) and features.ndim == 3:
         return features[..., None]
     return features
 
 
 def init_model(model_type, num_classes, rng, batch_size=2, dtype=jnp.float32,
-               params=None, num_layers=1):
+               params=None, num_layers=1, bn_momentum=None):
     """Build and initialise; returns (model, variables)."""
+    kwargs = {} if bn_momentum is None else {"bn_momentum": bn_momentum}
     model = get_model(model_type, num_classes, dtype=dtype,
-                      num_layers=num_layers)
+                      num_layers=num_layers, **kwargs)
     dummy = jnp.zeros(input_shape(model_type, batch_size, params), jnp.float32)
     variables = model.init({"params": rng}, dummy, train=False)
     return model, variables

@@ -72,6 +72,15 @@ def get_optimizer(
     train.py:58-59 — pass injectable with decay_type=None).
     """
     optim_type = optim_type.lower()
+    if injectable and decay_type is not None:
+        # the schedule re-evaluates the injected hyperparam every step,
+        # silently reverting any plateau scale — reject the combination
+        # instead of logging LR reductions that never stick
+        raise ValueError(
+            "injectable=True requires decay_type=None: a decay schedule "
+            "overwrites the injected learning_rate each step, so plateau "
+            "scaling would be silently reverted"
+        )
     lr = get_lr_scheduler(learning_rate, decay_type, decay_steps)
 
     if optim_type == "adam":

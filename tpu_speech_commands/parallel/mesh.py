@@ -29,15 +29,19 @@ def make_mesh(
 ) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices.
 
-    Default: all devices on the data axis.  jax.make_mesh picks a
-    device order that keeps collectives on ICI neighbours.
+    Default: all devices on the data axis.  Devices are taken in
+    jax.devices() order and reshaped row-major, which keeps the fast
+    'model' axis on adjacent (ICI-neighbour) chips for the default
+    enumeration order.
     """
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
+    if n_data < 1 or n_model < 1 or n_data * n_model > len(devices):
+        # n_data floors to 0 when n_model > device count — a zero-device
+        # mesh fails confusingly far downstream, so reject it here
         raise ValueError(
-            f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+            f"mesh {n_data}x{n_model} does not fit {len(devices)} devices"
         )
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))

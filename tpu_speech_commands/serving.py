@@ -49,9 +49,8 @@ def _lazy_tiled(build, default_tile: int):
     """
 
     def call(x, *args, **kw):
-        b = x.shape[0]
-        tile = default_tile if b % default_tile == 0 \
-            else math.gcd(b, default_tile)
+        # gcd == default_tile whenever the tile divides the batch
+        tile = math.gcd(x.shape[0], default_tile)
         return build(tile)(x, *args, **kw)
 
     return call

@@ -143,7 +143,10 @@ class CheckpointManager:
 
     def _clean(self):
         ckpts = self._by_recency(glob(os.path.join(self.log_dir, "ep*.npz")))
-        for stale in ckpts[: -self.max_keep]:
+        # max_keep=0 means keep none — ckpts[:-0] is an empty slice, which
+        # would silently keep everything instead
+        stales = ckpts[: -self.max_keep] if self.max_keep > 0 else ckpts
+        for stale in stales:
             os.remove(stale)
 
     def latest(self) -> str | None:

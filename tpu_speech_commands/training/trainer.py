@@ -32,7 +32,7 @@ from flax.training import train_state
 from ..data.dataset import Dataset, batch_iterator
 from ..losses import make_loss_fn
 from ..models import init_model
-from ..models.factory import is_cnn
+from ..models.factory import features_to_input, is_cnn
 from ..parallel import batch_sharding, make_mesh, replicated, state_sharding
 from ..utils import path_names
 from .checkpoints import CheckpointManager
@@ -326,9 +326,8 @@ class Trainer:
         # prepare entirely on the host (numpy) — an eager jnp reshape here
         # would be a separate device dispatch (tunnel round-trip) per batch
         x = np.asarray(x)
-        if self.device_pipeline is None and is_cnn(self.model_type) \
-                and x.ndim == 3:
-            x = x[..., None]
+        if self.device_pipeline is None:  # raw-audio pipeline feeds audio
+            x = features_to_input(x, self.model_type)
         mask = (np.arange(len(y)) < valid).astype(np.float32)
         put = partial(jax.device_put, device=self._data_sharding)
         return put(x), put(np.asarray(y)), put(mask)
@@ -357,8 +356,8 @@ class Trainer:
         n = len(ds)
         n_pad = max(1, -(-n // b)) * b
         x = np.asarray(ds.x, np.float32)
-        if self.device_pipeline is None and is_cnn(self.model_type) and x.ndim == 3:
-            x = x[..., None]
+        if self.device_pipeline is None:  # raw-audio pipeline feeds audio
+            x = features_to_input(x, self.model_type)
         x_all = np.zeros((n_pad,) + x.shape[1:], np.float32)
         x_all[:n] = x
         y_all = np.zeros(n_pad, np.int32)

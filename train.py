@@ -99,18 +99,15 @@ def main(args):
 
     import jax.numpy as jnp
 
-    from tpu_speech_commands.models import get_model
+    from tpu_speech_commands.models import init_model
     from tpu_speech_commands.training.trainer import TrainState
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
-    model = get_model(args.model_type, num_classes, dtype=dtype,
-                      bn_momentum=args.bn_momentum,
-                      num_layers=args.num_layers)
-    from tpu_speech_commands.models import input_shape
-
-    dummy = jnp.zeros((2,) + input_shape(args.model_type), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(args.seed)}, dummy,
-                           train=False)
+    model, variables = init_model(
+        args.model_type, num_classes, jax.random.PRNGKey(args.seed),
+        dtype=dtype, num_layers=args.num_layers,
+        bn_momentum=args.bn_momentum,
+    )
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx,
         batch_stats=variables.get("batch_stats"),
@@ -120,13 +117,15 @@ def main(args):
         print(f"Load weights {args.weights_path}.")
     elif args.resume:
         # resume from the newest epoch checkpoint in log_dir (failure
-        # recovery; the reference only supports manual --weights_path)
-        from glob import glob
+        # recovery; the reference only supports manual --weights_path).
+        # Newest by MTIME, not filename: after a prior resume restarts
+        # the epoch counter, ep001 (newer weights) sorts before ep020.
+        from tpu_speech_commands.training.checkpoints import CheckpointManager
 
-        ckpts = sorted(glob(os.path.join(log_dir, "ep*.npz")))
-        if ckpts:
-            state = restore_state(state, ckpts[-1])
-            print(f"Resumed from {ckpts[-1]}.")
+        newest = CheckpointManager(log_dir).latest()
+        if newest:
+            state = restore_state(state, newest)
+            print(f"Resumed from {newest}.")
         else:
             print("No checkpoint to resume from; starting fresh.")
 
