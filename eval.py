@@ -41,13 +41,40 @@ def main(args):
     class_names = get_classes(args.classes_path)
     ensure_background_first(class_names)
 
+    # load FIRST (a native checkpoint restores its stored train-time
+    # params), then an explicit --params_path wins on top
+    predict_fn, model_format = load_inference_model(args.model_path)
+    print(f"Loaded {model_format} model from {args.model_path}")
     if args.params_path:
         inject_params(args.params_path)
 
-    predict_fn, model_format = load_inference_model(args.model_path)
-    print(f"Loaded {model_format} model from {args.model_path}")
+    feature_type = args.feature_type
+    if model_format == "NATIVE":
+        meta_ft = predict_fn.meta.get("feature_type")
+        if feature_type is None:
+            # bark and mfcc features have identical shapes — a silent
+            # mismatch reports plausible-looking garbage accuracy
+            feature_type = meta_ft or "mfcc"
+        elif meta_ft and feature_type != meta_ft:
+            print(
+                f"WARNING: --feature_type {feature_type} overrides the "
+                f"checkpoint's stored feature_type={meta_ft}."
+            )
+        n = predict_fn.num_classes
+        if n is not None and n != len(class_names):
+            raise ValueError(
+                f"classes file has {len(class_names)} entries but the "
+                f"model predicts {n} classes"
+            )
+        stored = predict_fn.classes
+        if stored and list(stored) != list(class_names):
+            print(
+                "WARNING: classes file differs from the checkpoint's stored "
+                f"class list {list(stored)} — labels may be misattributed."
+            )
+    feature_type = feature_type or "mfcc"
 
-    frontend = Frontend(pr, feature_type=args.feature_type)
+    frontend = Frontend(pr, feature_type=feature_type)
     ds = get_dataset(args.dataset_path, class_names, frontend=frontend)
 
     start = time.time()
@@ -77,8 +104,10 @@ def build_parser():
     parser.add_argument("--classes_path", type=str, required=True)
     parser.add_argument("--params_path", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=512)
-    parser.add_argument("--feature_type", type=str, default="mfcc",
-                        choices=["mfcc", "bark"])
+    parser.add_argument("--feature_type", type=str, default=None,
+                        choices=["mfcc", "bark"],
+                        help="default: the checkpoint's stored frontend "
+                             "(mfcc for external formats)")
     parser.add_argument("--output_path", type=str, default="result")
     return parser
 

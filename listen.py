@@ -24,8 +24,10 @@ def build_parser():
     parser.add_argument("--save_dir", type=str, default=None,
                         help="folder to save false positives")
     parser.add_argument("--input_wav", type=str, default=None)
-    parser.add_argument("--feature_type", type=str, default="mfcc",
-                        choices=["mfcc", "bark"])
+    parser.add_argument("--feature_type", type=str, default=None,
+                        choices=["mfcc", "bark"],
+                        help="default: the checkpoint's stored frontend "
+                             "(mfcc for external formats)")
     parser.add_argument("--dump_model", default=False, action="store_true",
                         help="dump training model to inference checkpoint")
     parser.add_argument("--output_model_file", type=str, default=None)
@@ -35,8 +37,10 @@ def build_parser():
 def main():
     enable_compilation_cache()
     args = build_parser().parse_args()
+    # allowlist against the Listener contract — a denylist would pass any
+    # future parser flag straight into Listener.__dict__ unvalidated
     kwargs = {k: v for k, v in vars(args).items()
-              if k not in ("dump_model", "output_model_file")}
+              if k in Listener._defaults}
 
     if args.dump_model:
         # dump before constructing the Listener (stream state + jit
@@ -57,8 +61,13 @@ def main():
             save_checkpoint,
         )
 
+        out_file = args.output_model_file
+        if not out_file.endswith(".npz"):
+            # np.savez appends .npz silently; make the real path explicit
+            out_file += ".npz"
+            print(f"note: checkpoint format is .npz — writing {out_file}")
         variables, meta = load_checkpoint(args.model_path)
-        save_checkpoint(args.output_model_file, variables, meta)
+        save_checkpoint(out_file, variables, meta)
         sys.exit()
 
     listener = Listener(**kwargs)

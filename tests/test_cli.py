@@ -55,6 +55,80 @@ def test_train_eval_cli_roundtrip(tmp_path, capsys):
     assert (tmp_path / "result" / "confusion_matrix.png").exists()
 
 
+def test_eval_autoselects_bark_frontend_and_checks_classes(tmp_path, capsys):
+    """eval.py must take feature_type from the checkpoint meta (bark and
+    mfcc features have identical shapes — a silent mismatch scores
+    garbage) and reject a classes file that mismatches the model head."""
+    import pytest
+
+    import eval as eval_cli
+    import train as train_cli
+
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=6)
+    train_cli.main(_train_args(tmp_path, root,
+                               **{"--feature_type": "bark", "--epochs": "1"}))
+    capsys.readouterr()
+    final = str(tmp_path / "logs" / "trained_final.npz")
+
+    # no --feature_type: picks bark from the checkpoint meta and runs
+    acc = eval_cli.main(eval_cli.build_parser().parse_args([
+        "--model_path", final,
+        "--dataset_path", root,
+        "--classes_path", _write_classes(tmp_path),
+        "--output_path", str(tmp_path / "result_bark"),
+        "--batch_size", "16",
+    ]))
+    assert 0.0 <= acc <= 1.0
+
+    # explicit wrong flag: warned, not silent
+    eval_cli.main(eval_cli.build_parser().parse_args([
+        "--model_path", final,
+        "--dataset_path", root,
+        "--classes_path", _write_classes(tmp_path),
+        "--output_path", str(tmp_path / "result_warn"),
+        "--batch_size", "16",
+        "--feature_type", "mfcc",
+    ]))
+    assert "overrides the checkpoint's stored feature_type" in \
+        capsys.readouterr().out
+
+    # classes/head mismatch: clean rejection
+    bad = tmp_path / "bad_classes.txt"
+    bad.write_text("background\nleft\n")
+    with pytest.raises(ValueError, match="2 entries"):
+        eval_cli.main(eval_cli.build_parser().parse_args([
+            "--model_path", final,
+            "--dataset_path", root,
+            "--classes_path", str(bad),
+            "--batch_size", "16",
+        ]))
+
+
+def test_listener_params_path_wins_over_checkpoint_meta(tmp_path, capsys):
+    """--params_path decoder recalibration must survive loading a native
+    checkpoint (the loader restores train-time params; the user's file
+    is injected on top, not clobbered)."""
+    import json
+
+    import train as train_cli
+    from tpu_speech_commands.streaming import Listener
+
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=6)
+    train_cli.main(_train_args(tmp_path, root, **{"--epochs": "1"}))
+    capsys.readouterr()
+    final = str(tmp_path / "logs" / "trained_final.npz")
+
+    tuned = tmp_path / "tuned.json"
+    tuned.write_text(json.dumps({"threshold_center": 0.37}))
+    listener = Listener(model_path=final,
+                        classes_path=_write_classes(tmp_path),
+                        params_path=str(tuned))
+    assert listener.pr.threshold_center == 0.37
+    assert listener.threshold_decoder.center == 0.37
+
+
 def test_train_resume_flag(tmp_path, capsys):
     import train as train_cli
 

@@ -84,7 +84,10 @@ def evaluate_accuracy(
     # the tunneled platform); sets beyond the staging cap run as a few
     # chunked scan dispatches instead of one unbounded device_put
     n = len(ds)
-    b = batch_size
+    # batches shard over the mesh's data axis — round the batch up to a
+    # divisible size instead of failing with an obscure sharding error
+    n_data = int(mesh.shape.get("data", 1))
+    b = -(-batch_size // n_data) * n_data
     n_pad = max(1, -(-n // b)) * b
     x_np = np.asarray(ds.x, np.float32)
     if x_np.ndim == 3 and is_cnn(model_type):

@@ -24,8 +24,8 @@ def path_names(path) -> list[str]:
 
 
 def ensure_background_first(class_names: list[str]) -> None:
-    """Every entry point asserts the first class is 'background'
-    (reference train.py:26, eval.py:285, listen.py:66)."""
-    assert class_names and class_names[0] == "background", (
-        "1st class should be background."
-    )
+    """Every entry point requires the first class to be 'background'
+    (reference train.py:26, eval.py:285, listen.py:66).  ValueError, not
+    assert: user CLI input must still be rejected under python -O."""
+    if not class_names or class_names[0] != "background":
+        raise ValueError("1st class should be background.")
