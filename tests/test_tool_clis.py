@@ -171,6 +171,23 @@ def test_stream_server_demo(artifacts):
     assert "slot 0 <- srv_2.wav" in out or "slot 1 <- srv_2.wav" in out
 
 
+def test_stream_server_rejects_classes_mismatch(artifacts, tmp_path):
+    """The server must refuse a classes file that mismatches the model
+    head (out-of-range argmax would crash or mislabel mid-serving)."""
+    bad = tmp_path / "bad_classes.txt"
+    bad.write_text("background\nleft\n")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "serving", "stream_server.py"),
+         "--model_path", artifacts["ckpt"],
+         "--classes_path", str(bad),
+         "--wavs", artifacts["wav"]],
+        capture_output=True, text=True, env=ENV, cwd=REPO,
+    )
+    assert out.returncode != 0
+    assert "2 entries" in (out.stderr + out.stdout)
+
+
 def test_bench_serving_cli(artifacts):
     """bench_serving.py measures the make_batch_scorer surface (tiny run)."""
     out = run_cli(

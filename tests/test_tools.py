@@ -73,6 +73,40 @@ def test_audio_split_and_convert(tmp_path, wav_dir):
     assert rate == 8000 and n == 2000
 
 
+def test_audio_convert_preserves_subdirs(tmp_path):
+    """Same-named wavs in different class subdirs must not overwrite each
+    other in the output (out_path keeps the relative subpath)."""
+    from tpu_speech_commands.data.wav import save_audio
+
+    src = tmp_path / "corpus"
+    for cls in ("bed", "cat"):
+        (src / cls).mkdir(parents=True)
+        save_audio(str(src / cls / "0a7c2a8d_nohash_0.wav"),
+                   np.zeros(8000, np.float32))
+    out = tmp_path / "conv_tree"
+    run_tool("audio_convert.py", "--input_path", str(src),
+             "--output_path", str(out), "--sample_rate", "16000")
+    assert (out / "bed" / "0a7c2a8d_nohash_0.wav").exists()
+    assert (out / "cat" / "0a7c2a8d_nohash_0.wav").exists()
+
+
+def test_background_corpus_prepare_script(tmp_path, wav_dir):
+    """The generalized dataset_prepare.sh (wav-only source, no ffmpeg in
+    this image): converts + splits into <out>/sounds/background 1 s clips."""
+    out = tmp_path / "corpus_out"
+    script = os.path.join(REPO, "tools", "dataset", "background_corpus",
+                          "dataset_prepare.sh")
+    subprocess.run(["bash", script, str(wav_dir), str(out)],
+                   capture_output=True, text=True, check=True)
+    clips = os.listdir(out / "sounds" / "background")
+    assert len(clips) >= 2  # three 1 s inputs -> >= one clip each
+    from tpu_speech_commands.data.wav import wav_duration_samples
+
+    n, rate = wav_duration_samples(
+        str(out / "sounds" / "background" / clips[0]))
+    assert rate == 16000 and n == 16000
+
+
 def test_silent_check(wav_dir):
     result = run_tool("silent_check.py", "--input_path", str(wav_dir))
     assert "SILENT" in result.stdout and "quiet.wav" in result.stdout

@@ -30,6 +30,22 @@ def iter_wavs(path: str):
         yield path
 
 
-def out_path(output_dir: str, src_path: str) -> str:
-    os.makedirs(output_dir, exist_ok=True)
-    return os.path.join(output_dir, os.path.basename(src_path))
+def out_path(output_dir: str, src_path: str, input_root: str | None = None) -> str:
+    """Destination path for a processed wav.
+
+    When input_root is a directory containing src_path, the relative
+    subpath is preserved — a recursively-globbed corpus (class/name.wav
+    trees) would otherwise collapse to basenames and silently overwrite
+    same-named files from different classes."""
+    rel = os.path.basename(src_path)
+    if input_root and os.path.isdir(input_root):
+        try:
+            cand = os.path.relpath(os.path.abspath(src_path),
+                                   os.path.abspath(input_root))
+            if not cand.startswith(".."):
+                rel = cand
+        except ValueError:  # different drive (windows)
+            pass
+    dst = os.path.join(output_dir, rel)
+    os.makedirs(os.path.dirname(dst) or output_dir, exist_ok=True)
+    return dst

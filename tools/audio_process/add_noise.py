@@ -14,6 +14,10 @@ from _common import iter_wavs, load_wav, out_path, save_audio
 
 
 def add_noise(voice: np.ndarray, noise: np.ndarray, snr_db: float) -> np.ndarray:
+    # empty/truncated wavs: tiling an empty noise array is a
+    # ZeroDivisionError and np.mean([]) poisons the output with NaN
+    if len(voice) == 0 or len(noise) == 0:
+        return voice.astype(np.float32)
     if len(noise) < len(voice):
         reps = int(np.ceil(len(voice) / len(noise)))
         noise = np.tile(noise, reps)
@@ -45,7 +49,7 @@ def main():
         voice = load_wav(voice_file, args.sample_rate)
         noise = load_wav(random.choice(noise_files), args.sample_rate)
         mixed = add_noise(voice, noise, args.snr)
-        dst = out_path(args.output_path, voice_file)
+        dst = out_path(args.output_path, voice_file, args.voice_path)
         save_audio(dst, mixed, args.sample_rate)
         print(dst)
 

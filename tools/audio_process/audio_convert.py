@@ -16,7 +16,7 @@ def main():
 
     for wav_file in iter_wavs(args.input_path):
         audio = load_wav(wav_file, args.sample_rate, mono=True)
-        dst = out_path(args.output_path, wav_file)
+        dst = out_path(args.output_path, wav_file, args.input_path)
         save_audio(dst, audio, args.sample_rate)
         print(dst)
 

@@ -26,7 +26,9 @@ def main():
                     input=True, frames_per_buffer=args.chunk_size)
     print(f"recording {args.duration}s ...")
     frames = []
-    for _ in range(int(args.sample_rate * args.duration / args.chunk_size)):
+    # ceil: flooring clips up to one chunk off the requested duration
+    n_samples = int(args.sample_rate * args.duration)
+    for _ in range(-(-n_samples // args.chunk_size)):
         frames.append(stream.read(args.chunk_size))
     stream.stop_stream()
     stream.close()

@@ -48,7 +48,7 @@ def main():
         wet = fftconvolve(audio, rir)[: len(audio)]
         peak = np.max(np.abs(wet)) or 1.0
         wet = wet / peak * min(1.0, np.max(np.abs(audio)) * 1.2 + 1e-9)
-        dst = out_path(args.output_path, wav_file)
+        dst = out_path(args.output_path, wav_file, args.input_path)
         save_audio(dst, np.clip(wet, -1, 1), args.sample_rate)
         print(f"{dst} (rt60 {rt60:.2f}s)")
 

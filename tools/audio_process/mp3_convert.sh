@@ -13,10 +13,13 @@ SRC=$1
 DST=$2
 RATE=${3:-16000}
 mkdir -p "$DST"
-shopt -s nullglob
-for f in "$SRC"/*.mp3; do
-    base=$(basename "$f" .mp3)
+# recursive: corpora usually nest mp3s (artist/album/track.mp3); keep the
+# relative subpath so same-named files in different dirs don't collide
+find "$SRC" -type f -name '*.mp3' | while IFS= read -r f; do
+    rel=${f#"$SRC"/}
+    out="$DST/${rel%.mp3}.wav"
+    mkdir -p "$(dirname "$out")"
     ffmpeg -loglevel error -y -i "$f" -ar "$RATE" -ac 1 -sample_fmt s16 \
-        "$DST/$base.wav"
-    echo "$DST/$base.wav"
+        "$out"
+    echo "$out"
 done

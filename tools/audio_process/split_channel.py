@@ -23,7 +23,7 @@ def main():
             data = np.frombuffer(wf.readframes(wf.getnframes()), "<i2")
         assert args.channel < ch, f"{wav_file} has only {ch} channels"
         mono = data.reshape(-1, ch)[:, args.channel].astype(np.float32) / 32768.0
-        dst = out_path(args.output_path, wav_file)
+        dst = out_path(args.output_path, wav_file, args.input_path)
         save_audio(dst, mono, rate)
         print(dst)
 

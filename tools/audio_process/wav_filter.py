@@ -38,7 +38,7 @@ def main():
         audio = load_wav(wav_file, args.sample_rate)
         filtered = butter_filter(audio, args.sample_rate, args.filter_type,
                                  args.cutoff, args.cutoff_high, args.order)
-        dst = out_path(args.output_path, wav_file)
+        dst = out_path(args.output_path, wav_file, args.input_path)
         save_audio(dst, np.clip(filtered, -1, 1), args.sample_rate)
         print(dst)
 

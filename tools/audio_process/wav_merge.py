@@ -25,13 +25,16 @@ def main():
     noise = load_wav(args.noise_path, args.sample_rate)
     for voice_file in iter_wavs(args.voice_path):
         voice = load_wav(voice_file, args.sample_rate)
+        if len(voice) == 0 or len(noise) == 0:
+            print(f"skip empty wav: {voice_file}")
+            continue
         n = noise
         if len(n) < len(voice):
             n = np.tile(n, int(np.ceil(len(voice) / len(n))))
         n = n[: len(voice)]
         scale = args.volume_ratio * rms(voice) / rms(n)
         merged = np.clip(voice + scale * n, -1, 1).astype(np.float32)
-        dst = out_path(args.output_path, voice_file)
+        dst = out_path(args.output_path, voice_file, args.voice_path)
         save_audio(dst, merged, args.sample_rate)
         print(dst)
 

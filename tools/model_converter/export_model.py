@@ -59,7 +59,23 @@ def main():
             import numpy as np
 
             loaded = np.load(args.calibration_features)
-            rep = loaded[loaded.files[0]] if hasattr(loaded, "files") else loaded
+            if hasattr(loaded, "files"):
+                # a multi-member archive (e.g. features+labels): taking an
+                # arbitrary member could calibrate int8 ranges on labels.
+                # Prefer a 'features' member, else the sole member, else
+                # demand an explicit layout.
+                if "features" in loaded.files:
+                    rep = loaded["features"]
+                elif len(loaded.files) == 1:
+                    rep = loaded[loaded.files[0]]
+                else:
+                    raise ValueError(
+                        f"{args.calibration_features} has members "
+                        f"{loaded.files}; save the calibration set as a "
+                        "single array or under the key 'features'"
+                    )
+            else:
+                rep = loaded
         out = export_tflite(args.checkpoint, args.output_path, args.quantize,
                             representative_data=rep)
     elif args.format == "pb":

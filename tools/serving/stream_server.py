@@ -65,15 +65,31 @@ def main():
         make_stream_update,
         reset_streams,
     )
-    from tpu_speech_commands.utils.common import get_classes
+    from tpu_speech_commands.utils.common import (
+        ensure_background_first,
+        get_classes,
+    )
 
+    classes = get_classes(args.classes_path)
+    ensure_background_first(classes)
+
+    # load FIRST (a native checkpoint restores its stored train-time
+    # params), then --params_path wins on top — same precedence as
+    # listen.py/eval.py
+    predict, model_format = load_inference_model(args.model_path)
     if args.params_path:
         inject_params(args.params_path)
-    classes = get_classes(args.classes_path)
-    assert classes[0] == "background", "class list must start with background"
 
-    predict, model_format = load_inference_model(args.model_path)
-    frontend = Frontend(pr)
+    feature_type = "mfcc"
+    if model_format == "NATIVE":
+        feature_type = predict.meta.get("feature_type") or "mfcc"
+        n = predict.num_classes
+        if n is not None and n != len(classes):
+            raise ValueError(
+                f"classes file has {len(classes)} entries but the model "
+                f"predicts {n} classes"
+            )
+    frontend = Frontend(pr, feature_type=feature_type)
     update = jax.jit(make_stream_update(frontend, args.chunk_size))
 
     n_slots = args.slots
