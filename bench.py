@@ -34,7 +34,7 @@ BASELINE_WINDOWS_PER_SEC = 190.0  # reference TFLite path, BASELINE.md
 def bench(batch_size: int = 8192, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_gru",
           use_pallas: bool = True, audio_dtype: str = "float32",
-          fuse_conv1: bool = False, classifier_tile: int = 16,
+          fuse_conv1: "bool | str" = False, classifier_tile: int = 16,
           handoff_dtype: str = "float32") -> float:
     # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
     # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
@@ -77,6 +77,11 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
     model, variables = init_model(model_type, 5, jax.random.PRNGKey(0),
                                   batch_size=2, dtype=jnp.bfloat16)
 
+    if fuse_conv1 not in (False, True, "classifier", "rnn"):
+        raise ValueError(
+            f"fuse_conv1 must be False, True, 'classifier' or 'rnn'; got "
+            f"{fuse_conv1!r}"
+        )
     if fuse_conv1 == "classifier":
         # whole-classifier megakernel: all conv blocks + dense head in ONE
         # Pallas kernel — zero intermediate HBM traffic
@@ -180,11 +185,18 @@ def main():
         ("XLA GEMM MFCC + XLA scan classifier",
          dict(use_pallas=False)),
     ]
+    import sys
+    import traceback
+
     best, best_path = 0.0, "no path succeeded"
     for path, kw in attempts:
         try:
             best = max(best, bench(**kw))
         except Exception:
+            # a silent downgrade to a ~20x-slower fallback would read as a
+            # perf regression with no cause; stdout stays one JSON line
+            print(f"bench path failed: {path}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
             continue
         if best > 0:
             best_path = path

@@ -277,3 +277,27 @@ def test_full_train_step_fused_frontend_on_mesh():
     # near-zero-curvature params; 5e-3 still pins the identical path
     for a, b in zip(flat_f, flat_x):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+
+
+def test_xla_fallback_frontend_accepts_gain():
+    """The fallback path must honor the documented (audio, gain=None)
+    signature — an asymmetric fallback signature is the bug class this
+    selector exists to prevent."""
+    from tpu_speech_commands.ops import select_training_frontend
+
+    p = ListenerParams(n_fft=500)  # not CT-eligible -> XLA fallback
+    fe, kind = select_training_frontend(p, "mfcc", 8, verbose=False)
+    assert kind == "xla"
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, p.max_samples)),
+        jnp.float32,
+    )
+    base = fe(audio)
+    gained = fe(audio, 1.0)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(gained),
+                               rtol=1e-6)
+    pcm = jnp.asarray(
+        np.clip(np.asarray(audio) * 8192, -32768, 32767), jnp.int16
+    )
+    feats_pcm = fe(pcm, 1.0)  # int16 decode must precede the gain multiply
+    assert np.all(np.isfinite(np.asarray(feats_pcm)))

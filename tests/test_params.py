@@ -60,3 +60,34 @@ def test_inject_missing_file_is_noop(tmp_path):
     old = pr.to_dict()
     inject_params(str(tmp_path / "nope.json"))
     assert pr.to_dict() == old
+
+
+def test_inject_bad_files_warn_and_leave_params_intact(tmp_path, capsys):
+    """Atomicity + warning contract: a non-object JSON top level or a bad
+    field value must leave the singleton untouched (no half-mutation) and
+    print the reference-style warning instead of crashing."""
+    old = pr.to_dict()
+    # non-object top level used to escape as AttributeError
+    p1 = tmp_path / "arr.json"
+    p1.write_text("[1, 2, 3]")
+    inject_params(str(p1))
+    assert pr.to_dict() == old
+    # a good field before a bad one: must be all-or-nothing
+    p2 = tmp_path / "half.json"
+    p2.write_text(json.dumps({"sample_rate": 8000, "threshold_config": 5}))
+    inject_params(str(p2))
+    assert pr.to_dict() == old
+    out = capsys.readouterr().out
+    assert out.count("Failed to load parameters") == 2
+
+
+def test_inject_unknown_key_warns(tmp_path, capsys):
+    old = pr.to_dict()
+    path = tmp_path / "typo.json"
+    path.write_text(json.dumps({"nfft": 512}))
+    try:
+        inject_params(str(path))
+        assert pr.to_dict() == old  # typo'd key silently dropped before
+        assert "ignoring unknown params key 'nfft'" in capsys.readouterr().out
+    finally:
+        pr.override(old)

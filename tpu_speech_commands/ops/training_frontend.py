@@ -24,10 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..frontend import Frontend
+from ..parallel.mesh import DATA_AXIS
 from ..params import ListenerParams
 from .pallas_frontend import _ct_eligible, make_fused_frontend
-
-DATA_AXIS = "data"
 
 
 def fused_frontend_blockers(
@@ -95,7 +94,21 @@ def select_training_frontend(
                 "frontend: XLA GEMM chain (fused Pallas kernel unavailable: "
                 + "; ".join(reasons) + ")"
             )
-        return Frontend(p, feature_type=feature_type), "xla"
+        fe = Frontend(p, feature_type=feature_type)
+
+        def xla_frontend(audio, gain=None):
+            # same (audio, gain=None) signature as the fused path — the
+            # bare Frontend takes no gain, and an asymmetric fallback
+            # signature is exactly the bug class this module guards.
+            # Decode PCM16 before the gain multiply (serving.py does the
+            # same): `audio * gain` would promote and skip the /32768.
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            if gain is not None:
+                audio = audio * jnp.asarray(gain, jnp.float32)
+            return fe(audio)
+
+        return xla_frontend, "xla"
 
     fused = make_fused_frontend(
         p, feature_type=feature_type, batch_tile=batch_tile,

@@ -130,12 +130,24 @@ class ListenerParams:
         return dataclasses.replace(self, **kwargs)
 
     def override(self, mapping: dict) -> None:
-        """In-place field update (used by the global singleton injection)."""
+        """In-place field update (used by the global singleton injection).
+
+        Atomic: every value is validated/converted BEFORE the first field
+        is written, so a bad entry cannot leave the singleton
+        half-mutated.  Unknown keys are skipped with a warning (a typo'd
+        n_fft would otherwise surface only as silently-wrong features)."""
+        if not isinstance(mapping, dict):
+            raise TypeError(f"params must be a JSON object, got "
+                            f"{type(mapping).__name__}")
+        staged = {}
         for key, value in mapping.items():
             if key not in _STORED_FIELDS:
+                print(f"Warning: ignoring unknown params key {key!r}")
                 continue
             if key == "threshold_config":
                 value = tuple(tuple(p) for p in value)
+            staged[key] = value
+        for key, value in staged.items():
             object.__setattr__(self, key, value)
 
 
@@ -154,7 +166,9 @@ def inject_params(params_file: str) -> ListenerParams:
     try:
         with open(params_file) as f:
             pr.override(json.load(f))
-    except (OSError, ValueError, TypeError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # TypeError: non-object top level / bad threshold_config shape;
+        # AttributeError defends future non-dict mapping fallthroughs
         if os.path.isfile(params_file):
             print("Warning: Failed to load parameters from " + params_file)
     return pr
