@@ -70,10 +70,10 @@ def verify_on_examples(model_path: str) -> float:
     )
     feats, labels = [], []
     for name in wavs:
-        audio = load_wav(os.path.join(REPO, "example", name))[: pr.max_samples]
-        # left-zero-pad: the framework-wide contract (command at the buffer
-        # tail — data/dataset.py load_audio_batch, numpy_ref vectorize)
-        audio = np.pad(audio, (max(0, pr.max_samples - len(audio)), 0))
+        audio = load_wav(os.path.join(REPO, "example", name))
+        # truncate + left-zero-pad (command at the buffer tail): the
+        # library's own contract helper, not a hand-rolled copy
+        audio = np.asarray(frontend.pad_audio(audio))
         feats.append(np.asarray(frontend(audio)))
         labels.append(CLASSES.index(name.rsplit("_", 1)[0]))
     scores = predict_fn(np.stack(feats))
@@ -118,7 +118,9 @@ def main():
             acc_npz = verify_on_examples(dest)
             try:
                 acc_tscm = verify_on_examples(tscm)
-            except Exception as e:  # libtsc.so not built
+            except ImportError as e:  # ONLY libtsc.so-not-built is
+                # skippable — a broken .tscm (RuntimeError/ValueError)
+                # must fail the gate, not ship unverified
                 print(f"  (tscm verify skipped: {e})")
                 acc_tscm = None
             results[model_type] = {"npz": acc_npz, "tscm": acc_tscm}

@@ -6,10 +6,15 @@ kernel has since moved to the two-stage Cooley-Tukey GEMM-DFT
 (ops/pallas_frontend.py dft_mode='ct'), whose own tried-and-rejected
 variants (per-piece mel accumulation, duplicated-row mel, bf16 matmuls,
 int16 staging, input-projection hoist) are recorded in docs/ROADMAP.md.
-Kept as the measurement-harness template for future kernel experiments.
+Kept for the record of what was tried, NOT as a harness template: the
+measure() loop here dynamic-indexes a sub-batch pool inside the scan,
+which copies the slice every iteration (~160 GB/s input cap, CLAUDE.md)
+— variants faster than ~2.5M windows/s measure identically under it.
+bench.py's fixed-batch + iteration-dependent-gain scan is the correct
+methodology for new experiments.
 
 Variants measured with a single-dispatch checksum (out.sum() fetched to
-host) on one big batch — immune to async-dispatch artifacts:
+host), immune to async-dispatch artifacts:
 
   tile8/tile16/tile32 — dense kernel at different batch tiles
   combined            — cos|sin fused into ONE (W, 2*bins) matmul

@@ -15,8 +15,12 @@ The reference trains with `model.fit` (batch 512, adam @ 1e-3, val_split
 4. cross-loads the Keras-trained H5 into the JAX model and re-evaluates —
    weight-level interop must reproduce the Keras accuracy.
 
-Prints a markdown table row for PARITY.md.  Runs on CPU by default so the
-comparison is device-independent (and leaves the TPU free).
+Prints a markdown table row for PARITY.md.  tf.keras always runs on CPU;
+the JAX side uses the default platform (the TPU when tunneled — it is
+single-tenant, so don't run this alongside another TPU job).  Pass
+--jax_platform cpu for a fully device-independent comparison; note this
+box's JAX CPU is effectively single-core (CLAUDE.md), so CPU runs are
+slow.
 
     python tools/evaluation/accuracy_parity.py --epochs 40
 """

@@ -35,6 +35,9 @@ def main():
     from bench import bench
 
     fuse_for = {"xla": False, "block1": True, "megakernel": "classifier"}
+    # production serving tile (serving.py: 16 -> 3.27M, 128 -> 3.98M w/s);
+    # bench()'s default 16 would understate the Pallas variants ~20%
+    tile_for = {"xla": 16, "block1": 128, "megakernel": 128}
     results = {}
     for variant in args.variants:
         for dtype in (["float32", "int16"] if args.int16 else ["float32"]):
@@ -43,6 +46,7 @@ def main():
                 batch_size=args.batch_size, k_inner=args.k_inner,
                 model_type=args.model_type, use_pallas=True,
                 audio_dtype=dtype, fuse_conv1=fuse_for[variant],
+                classifier_tile=tile_for[variant],
             )
             results[key] = rate
             print(json.dumps({"variant": key, "windows_per_sec": round(rate, 1),

@@ -56,10 +56,16 @@ def main():
     # Pallas kernels need per-shard batch alignment; the XLA frontend shards
     # transparently.  Use pallas on TPU, XLA elsewhere.
     on_tpu = jax.default_backend() == "tpu"
-    frontend = (
-        make_fused_frontend(pr, batch_tile=16) if (args.use_pallas and on_tpu)
-        else Frontend(pr)
-    )
+    if args.use_pallas and on_tpu:
+        frontend = make_fused_frontend(pr, batch_tile=16)
+    else:
+        fe = Frontend(pr)
+
+        def frontend(audio, gain=None):
+            if gain is not None:
+                audio = audio * jnp.asarray(gain, jnp.float32)
+            return fe(audio)
+
     if args.use_pallas and on_tpu and n_dev > 1:
         # a Pallas custom call is not auto-partitionable: shard_map runs
         # the kernel per-device on its batch shard (collective-free)
@@ -67,44 +73,55 @@ def main():
         from jax.sharding import PartitionSpec as _P
 
         frontend = shard_map(
-            frontend, mesh=mesh, in_specs=_P("data"), out_specs=_P("data"),
-            check_rep=False,
+            frontend, mesh=mesh, in_specs=(_P("data"), _P()),
+            out_specs=_P("data"), check_rep=False,
         )
     model, variables = init_model(args.model_type, 5, jax.random.PRNGKey(0))
 
-    def forward(variables, audio):
-        feats = frontend(audio)
+    def forward(variables, audio, gain):
+        feats = frontend(audio, gain)
         x = features_to_input(feats, args.model_type)
         return score_fn(model.apply(variables, x, train=False))
 
-    def forward_many(variables, stack):
-        def body(carry, audio):
-            return carry + forward(variables, audio).sum(), None
+    def forward_many(variables, audio):
+        # bench.py methodology: k_inner iterations over the SAME fixed
+        # batch, each kept live by an iteration-dependent gain scalar —
+        # scanning over a (k_inner, B, S) stack instead dynamic-slices a
+        # fresh input copy every iteration (~160 GB/s input cap,
+        # CLAUDE.md), understating fast frontends
+        def body(carry, i):
+            gain = 1.0 + 1e-9 * i.astype(jnp.float32)
+            return carry + forward(variables, audio, gain).sum(), None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), stack)
+        c, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            jnp.arange(args.k_inner, dtype=jnp.int32),
+        )
         return c
 
     repl = replicated(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    stack_sharding = NamedSharding(mesh, P(None, "data"))
-    fn = jax.jit(forward_many, in_shardings=(repl, stack_sharding),
+    batch_sharding = NamedSharding(mesh, P("data"))
+    fn = jax.jit(forward_many, in_shardings=(repl, batch_sharding),
                  out_shardings=repl)
 
     rng = np.random.default_rng(0)
-    stack = jax.device_put(
-        jnp.asarray(rng.standard_normal(
-            (args.k_inner, batch, pr.max_samples)).astype(np.float32)),
-        stack_sharding,
+    # device_put the HOST array with the target sharding directly: an
+    # intermediate jnp.asarray would materialise the whole batch on
+    # device 0 before resharding (n_dev x per-chip HBM)
+    audio = jax.device_put(
+        rng.standard_normal((batch, pr.max_samples)).astype(np.float32),
+        batch_sharding,
     )
     variables = jax.device_put(variables, repl)
 
-    c = fn(variables, stack)
+    c = fn(variables, audio)
     assert np.isfinite(float(c))
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        c = fn(variables, stack)
+        c = fn(variables, audio)
         _ = float(c)
         best = max(best, args.k_inner * batch / (time.perf_counter() - t0))
     print(f"mesh data={n_dev}: {best:,.0f} windows/s total, "

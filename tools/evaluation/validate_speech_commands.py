@@ -42,9 +42,23 @@ def handle_prediction(scores, class_names, top_k, wav_path, output_path=None):
 
 
 def validate(model_path, wav_paths, class_names, top_k=1, loop_count=1,
-             feature_type="mfcc", output_path=None):
+             feature_type=None, output_path=None):
     predict_fn, model_format = load_inference_model(model_path)
     print(f"Loaded {model_format} model")
+
+    # feature_type=None: take the checkpoint's stored frontend (bark and
+    # mfcc features have identical shapes — a mismatch scores garbage
+    # silently); same contract as eval.py/listen.py
+    if model_format == "NATIVE":
+        meta_ft = predict_fn.meta.get("feature_type")
+        if feature_type is None:
+            feature_type = meta_ft or "mfcc"
+        elif meta_ft and feature_type != meta_ft:
+            print(
+                f"WARNING: --feature_type {feature_type} overrides the "
+                f"checkpoint's stored feature_type={meta_ft}."
+            )
+    feature_type = feature_type or "mfcc"
 
     frontend = Frontend(pr, feature_type=feature_type)
     import jax
@@ -55,14 +69,13 @@ def validate(model_path, wav_paths, class_names, top_k=1, loop_count=1,
     results = []
     for wav_path in wav_paths:
         audio = load_wav(wav_path, pr.sample_rate)
-        audio = audio[: pr.max_samples]
-        if len(audio) < pr.max_samples:
-            audio = np.concatenate(
-                [np.zeros(pr.max_samples - len(audio), np.float32), audio]
-            )
+        audio = np.asarray(frontend.pad_audio(jnp.asarray(audio)))
         feats = np.asarray(featurize(jnp.asarray(audio[None])))
 
-        # warmup + timed loop (reference :30-37)
+        # warmup + timed loop (reference :30-37).  NOTE: per-predict
+        # wall-clock — on the tunneled TPU each dispatch is ~32 ms
+        # RTT-bound (CLAUDE.md), so this measures the tunnel, not the
+        # chip; bench.py's scan-checksum is the device-time harness.
         scores = predict_fn(feats)[0]
         start = time.time()
         for _ in range(loop_count):
@@ -91,7 +104,7 @@ def main():
     parser.add_argument("--params_path", type=str, default=None)
     parser.add_argument("--top_k", type=int, default=1)
     parser.add_argument("--loop_count", type=int, default=1)
-    parser.add_argument("--feature_type", type=str, default="mfcc",
+    parser.add_argument("--feature_type", type=str, default=None,
                         choices=["mfcc", "bark"])
     parser.add_argument("--output_path", type=str, default=None)
     args = parser.parse_args()

@@ -42,7 +42,12 @@ def main():
         classes = get_classes(args.classes_path)
         meta["classes"] = classes
         meta["num_classes"] = len(classes)
-    meta.setdefault("params", pr.to_dict())
+    if args.params_path:
+        # an explicit --params_path repairs the stored params; setdefault
+        # would silently keep the checkpoint's old (possibly wrong) ones
+        meta["params"] = pr.to_dict()
+    else:
+        meta.setdefault("params", pr.to_dict())
     assert meta.get("model_type"), "model_type metadata required (--model_type)"
     assert meta.get("num_classes"), "num_classes metadata required (--classes_path)"
     save_checkpoint(args.output_file, variables, meta)
