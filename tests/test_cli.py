@@ -105,6 +105,23 @@ def test_eval_autoselects_bark_frontend_and_checks_classes(tmp_path, capsys):
         ]))
 
 
+def test_listener_autoselects_bark_frontend(tmp_path, capsys):
+    """Listener must build the bark frontend for a bark-trained checkpoint
+    without any flag (identical feature shapes make a mismatch silent)."""
+    import train as train_cli
+    from tpu_speech_commands.streaming import Listener
+
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=6)
+    train_cli.main(_train_args(tmp_path, root,
+                               **{"--feature_type": "bark", "--epochs": "1"}))
+    capsys.readouterr()
+    listener = Listener(model_path=str(tmp_path / "logs" / "trained_final.npz"),
+                        classes_path=_write_classes(tmp_path))
+    assert listener.feature_type == "bark"
+    assert listener.frontend.feature_type == "bark"
+
+
 def test_listener_params_path_wins_over_checkpoint_meta(tmp_path, capsys):
     """--params_path decoder recalibration must survive loading a native
     checkpoint (the loader restores train-time params; the user's file
