@@ -91,9 +91,14 @@ def test_decoder_array_bit_exact_vs_scalar():
 
 
 def test_decoder_zero_range():
+    """out_range == 0 degenerates to a step at min_out: cp = raw > min_out
+    then the center rescale maps cp=1 -> 1.0, cp=0 -> 0.0 exactly."""
     dec = ThresholdDecoder(((5, 0),), center=0.5)
     assert dec.out_range == 0
-    assert dec.decode(0.9) in (0.0, 1.0, 0.5) or 0 <= dec.decode(0.9) <= 1
+    assert dec.decode(0.9) == 0.0  # raw 0.9 < min_out 5 -> cp 0
+    dec_neg = ThresholdDecoder(((-5, 0),), center=0.5)
+    assert dec_neg.decode(0.9) == 1.0  # raw 0.9 > min_out -5 -> cp 1
+    assert dec.decode(0.0) == 0.0 and dec.decode(1.0) == 1.0  # passthrough
 
 
 # -- TriggerDetector ---------------------------------------------------------

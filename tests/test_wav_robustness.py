@@ -63,26 +63,12 @@ def test_audio_to_buffer_clips_full_scale():
     )
 
 
-def test_native_wav_reader_extensible(tmp_path, rng):
+def test_native_wav_reader_extensible(tmp_path, rng, gru_blob):
     """The C++ reader handles extensible wavs too (via speech_commands app)."""
     lib = os.path.join(REPO, "native", "build", "speech_commands")
     if not os.path.exists(lib):
         pytest.skip("native apps not built")
-    import jax
-
-    from tpu_speech_commands.export.native_format import export_native
-    from tpu_speech_commands.optim import get_optimizer
-    from tpu_speech_commands.params import pr
-    from tpu_speech_commands.training import create_train_state, save_checkpoint
-
-    tx = get_optimizer("adam", 1e-3, decay_type=None)
-    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
-    ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
-                                  "classes": ["background", "a", "b"],
-                                  "params": pr.to_dict()})
-    blob = str(tmp_path / "m.tscm")
-    export_native(ckpt, blob)
+    blob = gru_blob
 
     wav = str(tmp_path / "ext.wav")
     write_extensible_wav(wav, 0.2 * rng.standard_normal(16000))
@@ -118,7 +104,40 @@ def test_load_24bit_wav(tmp_path):
     np.testing.assert_allclose(audio, samples, atol=1e-3)
 
 
+def _require_libtsc():
+    """Skip (not ImportError-ERROR) when the native runtime isn't built —
+    NativeModel raises ImportError, which pytest.raises(RuntimeError)
+    would not catch."""
+    if not os.path.exists(os.path.join(REPO, "native", "build", "libtsc.so")):
+        pytest.skip("native runtime not built")
+
+
+@pytest.fixture(scope="module")
+def gru_blob(tmp_path_factory):
+    """One shared 3-class simple_gru .tscm export (the four native tests
+    below each re-built an identical one before)."""
+    _require_libtsc()
+    import jax
+
+    from tpu_speech_commands.export.native_format import export_native
+    from tpu_speech_commands.optim import get_optimizer
+    from tpu_speech_commands.params import pr
+    from tpu_speech_commands.training import create_train_state, save_checkpoint
+
+    tmp = tmp_path_factory.mktemp("gru_blob")
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
+    ckpt = str(tmp / "m.npz")
+    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
+                                  "classes": ["background", "a", "b"],
+                                  "params": pr.to_dict()})
+    blob = str(tmp / "m.tscm")
+    export_native(ckpt, blob)
+    return blob
+
+
 def test_native_model_loader_rejects_corrupt(tmp_path):
+    _require_libtsc()
     from tpu_speech_commands.native_binding import NativeModel
 
     bad = tmp_path / "bad.tscm"
@@ -132,54 +151,26 @@ def test_native_model_loader_rejects_corrupt(tmp_path):
         NativeModel(str(truncated))
 
 
-def test_native_model_loader_rejects_truncated_tensor(tmp_path):
+def test_native_model_loader_rejects_truncated_tensor(tmp_path, gru_blob):
     """A valid blob cut mid-tensor must error, not load a zero-filled
     kernel tail and silently predict garbage."""
-    import jax
-
-    from tpu_speech_commands.export.native_format import export_native
     from tpu_speech_commands.native_binding import NativeModel
-    from tpu_speech_commands.optim import get_optimizer
-    from tpu_speech_commands.params import pr
-    from tpu_speech_commands.training import create_train_state, save_checkpoint
 
-    tx = get_optimizer("adam", 1e-3, decay_type=None)
-    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
-    ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
-                                  "classes": ["background", "a", "b"],
-                                  "params": pr.to_dict()})
-    blob = str(tmp_path / "m.tscm")
-    export_native(ckpt, blob)
-    data = open(blob, "rb").read()
+    data = open(gru_blob, "rb").read()
     cut = tmp_path / "cut.tscm"
     cut.write_bytes(data[: len(data) - 100])  # drop the last kernel's tail
     with pytest.raises(RuntimeError):
         NativeModel(str(cut))
 
 
-def test_native_app_bounded_alloc_on_huge_data_size(tmp_path, rng):
+def test_native_app_bounded_alloc_on_huge_data_size(tmp_path, rng, gru_blob):
     """A crafted data-chunk size near 4 GiB must not drive the allocation
     (bounded by the bytes actually in the file) — decode what is present
     instead of bad_alloc/SIGABRT."""
     app = os.path.join(REPO, "native", "build", "speech_commands")
     if not os.path.exists(app):
         pytest.skip("native apps not built")
-    import jax
-
-    from tpu_speech_commands.export.native_format import export_native
-    from tpu_speech_commands.optim import get_optimizer
-    from tpu_speech_commands.params import pr
-    from tpu_speech_commands.training import create_train_state, save_checkpoint
-
-    tx = get_optimizer("adam", 1e-3, decay_type=None)
-    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
-    ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
-                                  "classes": ["background", "a", "b"],
-                                  "params": pr.to_dict()})
-    blob = str(tmp_path / "m.tscm")
-    export_native(ckpt, blob)
+    blob = gru_blob
 
     pcm = (0.1 * rng.standard_normal(16000) * 32767).astype("<i2").tobytes()
     bad = tmp_path / "huge.wav"
@@ -194,27 +185,13 @@ def test_native_app_bounded_alloc_on_huge_data_size(tmp_path, rng):
     assert "background" in out.stdout or ":" in out.stdout
 
 
-def test_native_app_rejects_malformed_fmt_chunk(tmp_path, rng):
+def test_native_app_rejects_malformed_fmt_chunk(tmp_path, rng, gru_blob):
     """A wav whose fmt chunk is shorter than 16 bytes must be refused
     (the field reads would land out of bounds), not crash the app."""
     lib = os.path.join(REPO, "native", "build", "speech_commands")
     if not os.path.exists(lib):
         pytest.skip("native apps not built")
-    import jax
-
-    from tpu_speech_commands.export.native_format import export_native
-    from tpu_speech_commands.optim import get_optimizer
-    from tpu_speech_commands.params import pr
-    from tpu_speech_commands.training import create_train_state, save_checkpoint
-
-    tx = get_optimizer("adam", 1e-3, decay_type=None)
-    _, state = create_train_state("simple_gru", 3, tx, jax.random.PRNGKey(0))
-    ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, state, {"model_type": "simple_gru", "num_classes": 3,
-                                  "classes": ["background", "a", "b"],
-                                  "params": pr.to_dict()})
-    blob = str(tmp_path / "m.tscm")
-    export_native(ckpt, blob)
+    blob = gru_blob
 
     bad = tmp_path / "badfmt.wav"
     fmt = struct.pack("<HHI", 1, 1, 16000)  # 8-byte fmt chunk: malformed
