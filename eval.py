@@ -48,31 +48,14 @@ def main(args):
     if args.params_path:
         inject_params(args.params_path)
 
-    feature_type = args.feature_type
-    if model_format == "NATIVE":
-        meta_ft = predict_fn.meta.get("feature_type")
-        if feature_type is None:
-            # bark and mfcc features have identical shapes — a silent
-            # mismatch reports plausible-looking garbage accuracy
-            feature_type = meta_ft or "mfcc"
-        elif meta_ft and feature_type != meta_ft:
-            print(
-                f"WARNING: --feature_type {feature_type} overrides the "
-                f"checkpoint's stored feature_type={meta_ft}."
-            )
-        n = predict_fn.num_classes
-        if n is not None and n != len(class_names):
-            raise ValueError(
-                f"classes file has {len(class_names)} entries but the "
-                f"model predicts {n} classes"
-            )
-        stored = predict_fn.classes
-        if stored and list(stored) != list(class_names):
-            print(
-                "WARNING: classes file differs from the checkpoint's stored "
-                f"class list {list(stored)} — labels may be misattributed."
-            )
-    feature_type = feature_type or "mfcc"
+    from tpu_speech_commands.export.inference_loader import (
+        resolve_checkpoint_contract,
+    )
+
+    feature_type = resolve_checkpoint_contract(
+        predict_fn, model_format, class_names=class_names,
+        feature_type=args.feature_type,
+    )
 
     frontend = Frontend(pr, feature_type=feature_type)
     ds = get_dataset(args.dataset_path, class_names, frontend=frontend)

@@ -19,7 +19,9 @@ find "$SRC" -type f -name '*.mp3' | while IFS= read -r f; do
     rel=${f#"$SRC"/}
     out="$DST/${rel%.mp3}.wav"
     mkdir -p "$(dirname "$out")"
-    ffmpeg -loglevel error -y -i "$f" -ar "$RATE" -ac 1 -sample_fmt s16 \
-        "$out"
+    # -nostdin: ffmpeg otherwise drains the while-loop's stdin (the
+    # remaining file list) looking for interactive commands
+    ffmpeg -nostdin -loglevel error -y -i "$f" -ar "$RATE" -ac 1 \
+        -sample_fmt s16 "$out"
     echo "$out"
 done

@@ -46,19 +46,16 @@ def validate(model_path, wav_paths, class_names, top_k=1, loop_count=1,
     predict_fn, model_format = load_inference_model(model_path)
     print(f"Loaded {model_format} model")
 
-    # feature_type=None: take the checkpoint's stored frontend (bark and
-    # mfcc features have identical shapes — a mismatch scores garbage
-    # silently); same contract as eval.py/listen.py
-    if model_format == "NATIVE":
-        meta_ft = predict_fn.meta.get("feature_type")
-        if feature_type is None:
-            feature_type = meta_ft or "mfcc"
-        elif meta_ft and feature_type != meta_ft:
-            print(
-                f"WARNING: --feature_type {feature_type} overrides the "
-                f"checkpoint's stored feature_type={meta_ft}."
-            )
-    feature_type = feature_type or "mfcc"
+    # shared entry-point contract: feature_type from checkpoint metadata,
+    # classes file cross-checked against the model head
+    from tpu_speech_commands.export.inference_loader import (
+        resolve_checkpoint_contract,
+    )
+
+    feature_type = resolve_checkpoint_contract(
+        predict_fn, model_format, class_names=class_names,
+        feature_type=feature_type,
+    )
 
     frontend = Frontend(pr, feature_type=feature_type)
     import jax

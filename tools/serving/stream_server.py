@@ -80,15 +80,13 @@ def main():
     if args.params_path:
         inject_params(args.params_path)
 
-    feature_type = "mfcc"
-    if model_format == "NATIVE":
-        feature_type = predict.meta.get("feature_type") or "mfcc"
-        n = predict.num_classes
-        if n is not None and n != len(classes):
-            raise ValueError(
-                f"classes file has {len(classes)} entries but the model "
-                f"predicts {n} classes"
-            )
+    from tpu_speech_commands.export.inference_loader import (
+        resolve_checkpoint_contract,
+    )
+
+    feature_type = resolve_checkpoint_contract(
+        predict, model_format, class_names=classes
+    )
     frontend = Frontend(pr, feature_type=feature_type)
     update = jax.jit(make_stream_update(frontend, args.chunk_size))
 

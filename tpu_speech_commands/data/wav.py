@@ -145,4 +145,7 @@ def wav_duration_samples(path: str) -> tuple[int, int]:
             return wf.getnframes(), wf.getframerate()
     except (wave.Error, EOFError):
         channels, bps, rate, data = _parse_riff(path)
+        if channels < 1 or bps < 1:
+            raise ValueError(f"malformed wav header (channels={channels}, "
+                             f"bytes/sample={bps}): {path}")
         return len(data) // (channels * bps), rate

@@ -25,6 +25,49 @@ import os
 import numpy as np
 
 
+def resolve_checkpoint_contract(predict_fn, model_format: str,
+                                class_names=None, feature_type=None,
+                                warn=print) -> str:
+    """Shared entry-point contract (eval.py / listen.py / tools):
+
+    - resolve feature_type from the checkpoint metadata when the flag is
+      omitted — bark and mfcc features have IDENTICAL shapes, so a silent
+      mismatch scores plausible-looking garbage; an explicit flag that
+      contradicts the metadata warns loudly;
+    - cross-check the classes file against the model head (a mismatched
+      count corrupts confusion matrices silently — JAX scatter drops
+      out-of-bounds updates — or indexes past the list in C++).
+
+    Returns the resolved feature_type ('mfcc' fallback).  Only native
+    checkpoints carry metadata; external formats pass through."""
+    if model_format != "NATIVE":
+        return feature_type or "mfcc"
+    meta_ft = predict_fn.meta.get("feature_type")
+    if feature_type is None:
+        feature_type = meta_ft or "mfcc"
+    elif meta_ft and feature_type != meta_ft:
+        warn(
+            f"WARNING: --feature_type {feature_type} overrides the "
+            f"checkpoint's stored feature_type={meta_ft}; scores will "
+            "be meaningless unless this is intentional."
+        )
+    if class_names is not None:
+        n = predict_fn.num_classes
+        if n is not None and n != len(class_names):
+            raise ValueError(
+                f"classes file has {len(class_names)} entries but the "
+                f"model predicts {n} classes"
+            )
+        stored = predict_fn.classes
+        if stored and list(stored) != list(class_names):
+            warn(
+                "WARNING: classes file differs from the checkpoint's "
+                f"stored class list {list(stored)} — labels may be "
+                "misattributed."
+            )
+    return feature_type or "mfcc"
+
+
 def _adapt_rank(features: np.ndarray, want_rank: int) -> np.ndarray:
     features = np.asarray(features, np.float32)
     if features.ndim == want_rank + 1 and features.shape[-1] == 1:

@@ -97,6 +97,12 @@ def make_batch_scorer(
     model, variables = predict.model, predict.variables
     model_type = predict.model_type
     feature_type = predict.meta.get("feature_type", "mfcc")
+    # snapshot the params NOW: load_native just restored this
+    # checkpoint's stored params into the global singleton, but the
+    # _lazy_tiled builders run at CALL time — closing over the mutable
+    # `pr` would let any later checkpoint load silently rewire this
+    # scorer's DFT/mel matrices (garbage scores when shapes coincide)
+    p = pr.replace()
 
     if use_pallas is None:
         use_pallas = interpret or jax.default_backend() == "tpu"
@@ -120,22 +126,22 @@ def make_batch_scorer(
     )
     handoff_dtype = (
         compute_dtype
-        if pallas_classifier and not pr.use_delta
+        if pallas_classifier and not p.use_delta
         and compute_dtype != jnp.float32
         else jnp.float32
     )
 
-    if use_pallas and _ct_eligible(pr):
+    if use_pallas and _ct_eligible(p):
         from .ops import make_fused_frontend
 
         fused = _lazy_tiled(
             lambda t: make_fused_frontend(
-                pr, feature_type=feature_type, batch_tile=t,
+                p, feature_type=feature_type, batch_tile=t,
                 interpret=interpret, out_dtype=handoff_dtype,
             ),
             batch_tile,
         )
-        if pr.use_delta:
+        if p.use_delta:
             from .frontend.dsp import add_deltas
 
             def frontend(audio, gain=None):
@@ -149,7 +155,7 @@ def make_batch_scorer(
                 else "pallas-ct(bf16-handoff)"
             )
     else:
-        fe = Frontend(pr, feature_type=feature_type)
+        fe = Frontend(p, feature_type=feature_type)
 
         def frontend(audio, gain=None):
             if audio.dtype == jnp.int16:
@@ -168,6 +174,7 @@ def make_batch_scorer(
         classifier = _lazy_tiled(
             lambda t: make_fused_cnn_classifier(
                 variables, separable=(model_type == "simple_cnn_lite"),
+                n_features=p.n_features, feature_size=p.feature_size,
                 batch_tile=t, interpret=interpret,
                 compute_dtype=compute_dtype,
             ),
@@ -184,7 +191,9 @@ def make_batch_scorer(
 
         classifier = _lazy_tiled(
             lambda t: make_fused_rnn_classifier(
-                variables, cell_type="gru", batch_tile=t,
+                variables, cell_type="gru",
+                n_features=p.n_features, feature_size=p.feature_size,
+                batch_tile=t,
                 interpret=interpret, compute_dtype=compute_dtype,
             ),
             classifier_tile or 128,

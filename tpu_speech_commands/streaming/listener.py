@@ -61,8 +61,12 @@ class Listener:
         # recalibration would be silently clobbered by the checkpoint
         self.predict_fn, self.model_format = load_inference_model(self.model_path)
         self.pr = inject_params(self.params_path) if self.params_path else pr
-        self._resolve_feature_type()
-        self._check_classes()
+        from ..export.inference_loader import resolve_checkpoint_contract
+
+        self.feature_type = resolve_checkpoint_contract(
+            self.predict_fn, self.model_format,
+            class_names=self.class_names, feature_type=self.feature_type,
+        )
 
         self.threshold_decoder = ThresholdDecoder(
             self.pr.threshold_config, self.pr.threshold_center
@@ -75,42 +79,6 @@ class Listener:
         self._setup_stream()
         self.session_id = "%09d" % randint(0, 999999999)
         self.record_num = 0
-
-    def _resolve_feature_type(self):
-        """feature_type=None means 'use the checkpoint's stored frontend'
-        (native models self-describe it); bark and mfcc features have
-        IDENTICAL shapes, so a silent mismatch scores garbage without
-        any error — warn loudly when the user overrides the metadata."""
-        meta_ft = None
-        if self.model_format == "NATIVE":
-            meta_ft = self.predict_fn.meta.get("feature_type")
-        if self.feature_type is None:
-            self.feature_type = meta_ft or "mfcc"
-        elif meta_ft and self.feature_type != meta_ft:
-            print(
-                f"WARNING: --feature_type {self.feature_type} overrides the "
-                f"checkpoint's stored feature_type={meta_ft}; scores will "
-                "be meaningless unless this is intentional."
-            )
-
-    def _check_classes(self):
-        """The classes file must match the model head (and, when the
-        checkpoint stores its class list, the training classes): an
-        out-of-range argmax index silently reads past the list."""
-        if self.model_format != "NATIVE":
-            return
-        n = self.predict_fn.num_classes
-        if n is not None and n != len(self.class_names):
-            raise ValueError(
-                f"classes file has {len(self.class_names)} entries but the "
-                f"model predicts {n} classes"
-            )
-        stored = self.predict_fn.classes
-        if stored and list(stored) != list(self.class_names):
-            print(
-                "WARNING: classes file differs from the checkpoint's stored "
-                f"class list {list(stored)} — labels may be misattributed."
-            )
 
     # -- streaming state -----------------------------------------------------
 
