@@ -121,6 +121,31 @@ def test_scorer_bf16_handoff_bit_identical(tmp_path, audio_batch,
                                atol=5e-2)
 
 
+def test_scorer_immune_to_later_checkpoint_loads(tmp_path, audio_batch):
+    """A built scorer must keep ITS checkpoint's params: the lazy tile
+    builders run at call time, and closing over the mutable global pr
+    let any later checkpoint load silently rewire the DFT/mel matrices
+    (same feature geometry -> garbage scores, no error)."""
+    from tpu_speech_commands.export.inference_loader import load_native
+
+    ckpt_a = _make_checkpoint(tmp_path, "simple_gru")
+    scorer = make_batch_scorer(ckpt_a, batch_tile=4, interpret=True,
+                               use_pallas=True)
+    a = jnp.asarray(audio_batch)
+    before = np.asarray(scorer(a))
+
+    # checkpoint B: same feature geometry, different mel filterbank
+    pr.override({"n_filt": 24})
+    try:
+        ckpt_b = _make_checkpoint(tmp_path, "simple_lstm")
+        load_native(ckpt_b)  # restores B's params into the global pr
+        assert pr.n_filt == 24
+        after = np.asarray(scorer(a))  # must still use A's params
+    finally:
+        pr.override({"n_filt": 20})
+    np.testing.assert_array_equal(before, after)
+
+
 def test_scorer_use_delta_cnn(tmp_path, audio_batch):
     """use_delta: frontend takes pallas-ct+deltas and the megakernel sees
     (30, 40) features — block-3 width 10 is EVEN, the asymmetric-SAME-pad
