@@ -14,7 +14,10 @@ import numpy as np
 from tpu_speech_commands.utils.compilation_cache import enable_compilation_cache
 from tpu_speech_commands.data.dataset import get_dataset
 from tpu_speech_commands.evaluation import plot_confusion_matrix
-from tpu_speech_commands.export.inference_loader import load_inference_model
+from tpu_speech_commands.export.inference_loader import (
+    load_inference_model,
+    resolve_checkpoint_contract,
+)
 from tpu_speech_commands.frontend import Frontend
 from tpu_speech_commands.params import inject_params, pr
 from tpu_speech_commands.utils import ensure_background_first, get_classes
@@ -47,10 +50,6 @@ def main(args):
     print(f"Loaded {model_format} model from {args.model_path}")
     if args.params_path:
         inject_params(args.params_path)
-
-    from tpu_speech_commands.export.inference_loader import (
-        resolve_checkpoint_contract,
-    )
 
     feature_type = resolve_checkpoint_contract(
         predict_fn, model_format, class_names=class_names,

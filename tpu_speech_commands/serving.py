@@ -116,56 +116,9 @@ def make_batch_scorer(
     # `.paths`), so the policies are kept side by side on the shared
     # primitives (_ct_eligible / make_fused_frontend / add_deltas) —
     # update both when eligibility rules change.
-    # bf16 feature handoff between the two kernels: halves the feature
-    # tensor's HBM round trip, and loses nothing — a bf16 Pallas
-    # classifier rounds its matmul inputs to bf16 anyway (scores are
-    # bit-identical; tests/test_serving.py).  Only when the classifier IS
-    # a Pallas kernel and no f32 delta post-processing sits in between.
-    pallas_classifier = use_pallas and (
-        is_cnn(model_type) or model_type == "simple_gru"
-    )
-    handoff_dtype = (
-        compute_dtype
-        if pallas_classifier and not p.use_delta
-        and compute_dtype != jnp.float32
-        else jnp.float32
-    )
-
-    if use_pallas and _ct_eligible(p):
-        from .ops import make_fused_frontend
-
-        fused = _lazy_tiled(
-            lambda t: make_fused_frontend(
-                p, feature_type=feature_type, batch_tile=t,
-                interpret=interpret, out_dtype=handoff_dtype,
-            ),
-            batch_tile,
-        )
-        if p.use_delta:
-            from .frontend.dsp import add_deltas
-
-            def frontend(audio, gain=None):
-                return add_deltas(fused(audio, gain))
-
-            paths["frontend"] = "pallas-ct+deltas"
-        else:
-            frontend = fused
-            paths["frontend"] = (
-                "pallas-ct" if handoff_dtype == jnp.float32
-                else "pallas-ct(bf16-handoff)"
-            )
-    else:
-        fe = Frontend(p, feature_type=feature_type)
-
-        def frontend(audio, gain=None):
-            if audio.dtype == jnp.int16:
-                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
-            if gain is not None:
-                audio = audio * gain
-            return fe(audio)
-
-        paths["frontend"] = "xla"
-
+    # classifier dispatch FIRST: the frontend's bf16 handoff below is
+    # derived from the classifier path actually chosen, so the two can
+    # never drift apart.
     if use_pallas and is_cnn(model_type):
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
@@ -205,6 +158,52 @@ def make_batch_scorer(
             return model.apply(variables, x, train=False)
 
         paths["classifier"] = "xla"
+    # bf16 feature handoff between the two kernels: halves the feature
+    # tensor's HBM round trip, and loses nothing — a bf16 Pallas
+    # classifier rounds its matmul inputs to bf16 anyway (scores are
+    # bit-identical; tests/test_serving.py).  Only when the classifier IS
+    # a Pallas kernel and no f32 delta post-processing sits in between.
+    handoff_dtype = (
+        compute_dtype
+        if paths["classifier"].startswith("pallas") and not p.use_delta
+        and compute_dtype != jnp.float32
+        else jnp.float32
+    )
+
+    if use_pallas and _ct_eligible(p):
+        from .ops import make_fused_frontend
+
+        fused = _lazy_tiled(
+            lambda t: make_fused_frontend(
+                p, feature_type=feature_type, batch_tile=t,
+                interpret=interpret, out_dtype=handoff_dtype,
+            ),
+            batch_tile,
+        )
+        if p.use_delta:
+            from .frontend.dsp import add_deltas
+
+            def frontend(audio, gain=None):
+                return add_deltas(fused(audio, gain))
+
+            paths["frontend"] = "pallas-ct+deltas"
+        else:
+            frontend = fused
+            paths["frontend"] = (
+                "pallas-ct" if handoff_dtype == jnp.float32
+                else "pallas-ct(bf16-handoff)"
+            )
+    else:
+        fe = Frontend(p, feature_type=feature_type)
+
+        def frontend(audio, gain=None):
+            if audio.dtype == jnp.int16:
+                audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+            if gain is not None:
+                audio = audio * gain
+            return fe(audio)
+
+        paths["frontend"] = "xla"
 
     def run(audio, gain=None):
         feats = frontend(audio, gain)

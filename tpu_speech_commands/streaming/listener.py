@@ -22,7 +22,10 @@ from random import randint
 import numpy as np
 
 from ..data.wav import buffer_to_audio, save_audio
-from ..export.inference_loader import load_inference_model
+from ..export.inference_loader import (
+    load_inference_model,
+    resolve_checkpoint_contract,
+)
 from ..frontend.dsp import Frontend
 from ..models import features_to_input, score_fn
 from ..params import inject_params, pr
@@ -49,6 +52,11 @@ class Listener:
     _defaults = default_config
 
     def __init__(self, **kwargs):
+        unknown = set(kwargs) - set(self._defaults)
+        if unknown:
+            # a typo'd kwarg (e.g. sensitivty=) would otherwise become a
+            # dead attribute while the real knob keeps its default
+            raise TypeError(f"unknown Listener arguments: {sorted(unknown)}")
         self.__dict__.update(self._defaults)
         self.__dict__.update(kwargs)
 
@@ -60,9 +68,12 @@ class Listener:
         # --params_path wins on top — otherwise user decoder/threshold
         # recalibration would be silently clobbered by the checkpoint
         self.predict_fn, self.model_format = load_inference_model(self.model_path)
-        self.pr = inject_params(self.params_path) if self.params_path else pr
-        from ..export.inference_loader import resolve_checkpoint_contract
-
+        if self.params_path:
+            inject_params(self.params_path)
+        # SNAPSHOT the params: a live alias to the mutable global would be
+        # rewired in place by any later checkpoint load (same hazard
+        # serving.make_batch_scorer guards against)
+        self.pr = pr.replace()
         self.feature_type = resolve_checkpoint_contract(
             self.predict_fn, self.model_format,
             class_names=self.class_names, feature_type=self.feature_type,
