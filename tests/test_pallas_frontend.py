@@ -196,18 +196,16 @@ def test_fused_frontend_under_shard_map():
     recipe wraps the kernel in shard_map over the batch axis. Verified on
     the virtual 8-device mesh (interpret mode): sharded == unsharded."""
     import jax
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from tpu_speech_commands.parallel import make_mesh
+    from tpu_speech_commands.parallel import make_mesh, shard_map_no_check
 
     assert len(jax.devices()) == 8
     p = ListenerParams()
     mesh = make_mesh(n_data=8)
     fused = make_fused_frontend(p, batch_tile=4, interpret=True)
-    sharded = jax.jit(shard_map(
+    sharded = jax.jit(shard_map_no_check(
         fused, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-        check_rep=False,
     ))
     rng = np.random.default_rng(8)
     audio = jnp.asarray(rng.standard_normal((32, 16000)).astype(np.float32))

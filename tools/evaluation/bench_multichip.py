@@ -69,12 +69,13 @@ def main():
     if args.use_pallas and on_tpu and n_dev > 1:
         # a Pallas custom call is not auto-partitionable: shard_map runs
         # the kernel per-device on its batch shard (collective-free)
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as _P
 
-        frontend = shard_map(
+        from tpu_speech_commands.parallel import shard_map_no_check
+
+        frontend = shard_map_no_check(
             frontend, mesh=mesh, in_specs=(_P("data"), _P()),
-            out_specs=_P("data"), check_rep=False,
+            out_specs=_P("data"),
         )
     model, variables = init_model(args.model_type, 5, jax.random.PRNGKey(0))
 

@@ -115,17 +115,17 @@ def select_training_frontend(
         interpret=interpret,
     )
     if n_data > 1:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        # check_rep off: Pallas calls don't participate in shard_map's
-        # replication checking (tests/test_pallas_frontend.py:194-218)
-        sharded = shard_map(
+        from ..parallel import shard_map_no_check
+
+        # replication check off: Pallas calls don't participate in
+        # shard_map's inference (tests/test_pallas_frontend.py:194-218)
+        sharded = shard_map_no_check(
             lambda a, g: fused(a, g),
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P()),
             out_specs=P(DATA_AXIS),
-            check_rep=False,
         )
 
         def base(audio, gain=None):

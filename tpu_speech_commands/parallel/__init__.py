@@ -5,6 +5,7 @@ from .mesh import (
     make_mesh,
     param_spec,
     replicated,
+    shard_map_no_check,
     state_sharding,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "make_mesh",
     "param_spec",
     "replicated",
+    "shard_map_no_check",
     "state_sharding",
 ]

@@ -78,6 +78,28 @@ def param_spec(path: tuple[str, ...], leaf) -> P:
     return P()
 
 
+def shard_map_no_check(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map with replication checking off, on the stable API.
+
+    Pallas custom calls don't participate in shard_map's sharding-rule
+    inference, so every wrap in this framework disables the check.  JAX
+    0.8 moved shard_map out of jax.experimental and renamed the knob
+    check_rep -> check_vma; this helper targets `jax.shard_map` and falls
+    back to the experimental module on older releases.
+    """
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    return _shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )
+
+
 def state_sharding(tree, mesh: Mesh, with_model_parallel: bool = True):
     """NamedSharding pytree for a train state / variables pytree."""
 

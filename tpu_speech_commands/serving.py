@@ -215,20 +215,18 @@ def make_batch_scorer(
 
         n_data = int(mesh.shape.get(DATA_AXIS, 1))
     if n_data > 1:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from .parallel.mesh import DATA_AXIS
+        from .parallel.mesh import DATA_AXIS, shard_map_no_check
 
-        # check_rep off: Pallas calls don't participate in shard_map's
-        # replication checking; variables ride in as closure constants
+        # replication check off: Pallas calls don't participate in
+        # shard_map's inference; variables ride in as closure constants
         # (replicated on every device)
-        sharded = shard_map(
+        sharded = shard_map_no_check(
             lambda a, g: run(a, g),
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P()),
             out_specs=P(DATA_AXIS),
-            check_rep=False,
         )
 
         def run_maybe_sharded(audio, gain=None):
