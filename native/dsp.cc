@@ -6,6 +6,8 @@
 #include <limits>
 #include <stdexcept>
 
+#include "simd.h"
+
 namespace tsc {
 
 namespace {
@@ -39,6 +41,80 @@ double bark_gain(double fb, double fc) {
 
 double safe_log(double x) { return std::log(std::max(x, kLogEps)); }
 
+// n-term dot with 8 independent partial sums — a reassociation the
+// compiler may not do on its own under strict FP, unlocking SIMD lanes
+// (double-precision reassociation error ~1e-15 relative; parity
+// tolerances are 1e-4).
+TSC_SIMD_CLONES
+static double dot8(const double* __restrict__ a,
+                   const double* __restrict__ b, int n) {
+  double acc[8] = {0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0};
+  int i = 0;
+  for (; i + 8 <= n; i += 8)
+    for (int l = 0; l < 8; ++l) acc[l] += a[i + l] * b[i + l];
+  double s = ((acc[0] + acc[1]) + (acc[2] + acc[3])) +
+             ((acc[4] + acc[5]) + (acc[6] + acc[7]));
+  for (; i < n; ++i) s += a[i] * b[i];
+  return s;
+}
+
+// Per-size twiddle tables, built ONCE with the same incremental
+// recurrence the in-loop version used (bit-identical outputs), so the
+// butterfly stage below is a branch-free table walk the compiler can
+// vectorize.  thread_local: frontends may run on pool threads.
+struct FftTwiddles {
+  size_t n = 0;
+  // stage s handles len = 2^(s+1); wr/wi hold len/2 factors each
+  std::vector<std::vector<double>> wr, wi;
+};
+
+static const FftTwiddles& fft_twiddles(size_t n) {
+  thread_local FftTwiddles t;
+  if (t.n != n) {
+    t.wr.clear();
+    t.wi.clear();
+    for (size_t len = 2; len <= n; len <<= 1) {
+      const double ang = -2.0 * M_PI / static_cast<double>(len);
+      const double wr = std::cos(ang), wi = std::sin(ang);
+      std::vector<double> cr(len / 2), ci(len / 2);
+      double cur_r = 1.0, cur_i = 0.0;
+      for (size_t k = 0; k < len / 2; ++k) {
+        cr[k] = cur_r;
+        ci[k] = cur_i;
+        const double nr = cur_r * wr - cur_i * wi;
+        cur_i = cur_r * wi + cur_i * wr;
+        cur_r = nr;
+      }
+      t.wr.push_back(std::move(cr));
+      t.wi.push_back(std::move(ci));
+    }
+    t.n = n;
+  }
+  return t;
+}
+
+// one FFT stage: all butterflies of width len across the whole array
+TSC_SIMD_CLONES
+static void fft_stage(double* __restrict__ re, double* __restrict__ im,
+                      size_t n, size_t len, const double* __restrict__ wr,
+                      const double* __restrict__ wi) {
+  const size_t half = len / 2;
+  for (size_t i = 0; i < n; i += len) {
+    double* __restrict__ ra = re + i;
+    double* __restrict__ ia = im + i;
+    double* __restrict__ rb = re + i + half;
+    double* __restrict__ ib = im + i + half;
+    for (size_t k = 0; k < half; ++k) {
+      const double tr = rb[k] * wr[k] - ib[k] * wi[k];
+      const double ti = rb[k] * wi[k] + ib[k] * wr[k];
+      rb[k] = ra[k] - tr;
+      ib[k] = ia[k] - ti;
+      ra[k] += tr;
+      ia[k] += ti;
+    }
+  }
+}
+
 void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
   const size_t n = re.size();
   // bit-reversal permutation
@@ -51,25 +127,11 @@ void fft_radix2(std::vector<double>& re, std::vector<double>& im) {
       std::swap(im[i], im[j]);
     }
   }
-  for (size_t len = 2; len <= n; len <<= 1) {
-    const double ang = -2.0 * M_PI / static_cast<double>(len);
-    const double wr = std::cos(ang), wi = std::sin(ang);
-    for (size_t i = 0; i < n; i += len) {
-      double cur_r = 1.0, cur_i = 0.0;
-      for (size_t k = 0; k < len / 2; ++k) {
-        const size_t a = i + k, b = i + k + len / 2;
-        const double tr = re[b] * cur_r - im[b] * cur_i;
-        const double ti = re[b] * cur_i + im[b] * cur_r;
-        re[b] = re[a] - tr;
-        im[b] = im[a] - ti;
-        re[a] += tr;
-        im[a] += ti;
-        const double nr = cur_r * wr - cur_i * wi;
-        cur_i = cur_r * wi + cur_i * wr;
-        cur_r = nr;
-      }
-    }
-  }
+  const FftTwiddles& tw = fft_twiddles(n);
+  size_t stage = 0;
+  for (size_t len = 2; len <= n; len <<= 1, ++stage)
+    fft_stage(re.data(), im.data(), n, len, tw.wr[stage].data(),
+              tw.wi[stage].data());
 }
 
 double power_spectrum(const float* frame, int frame_len, int n_fft,
@@ -174,6 +236,17 @@ Frontend::Frontend(const FrontendConfig& cfg) : cfg_(cfg) {
                     ? bark_filterbank(cfg.n_filt, cfg.n_fft, cfg.sample_rate)
                     : mel_filterbank(cfg.sample_rate, cfg.n_filt, fft_len_);
   dct_ = dct_matrix(cfg.n_filt);
+  // nonzero support [lo, hi) of each filter row (empty rows -> lo == hi)
+  bank_lo_.resize(cfg.n_filt);
+  bank_hi_.resize(cfg.n_filt);
+  for (int i = 0; i < cfg.n_filt; ++i) {
+    const double* row = &filterbank_[static_cast<size_t>(i) * fft_len_];
+    int lo = 0, hi = fft_len_;
+    while (lo < hi && row[lo] == 0.0) ++lo;
+    while (hi > lo && row[hi - 1] == 0.0) --hi;
+    bank_lo_[i] = lo;
+    bank_hi_[i] = hi;
+  }
 }
 
 void Frontend::frame_features(const float* frame, int frame_len,
@@ -183,19 +256,19 @@ void Frontend::frame_features(const float* frame, int frame_len,
 
   std::vector<double> mels(cfg_.n_filt);
   for (int i = 0; i < cfg_.n_filt; ++i) {
-    double acc = 0.0;
+    // dot only over the filter's nonzero support (the sonopy mel high
+    // edge at sample_rate leaves the upper filters mostly/entirely
+    // zero — skipping exact zeros changes nothing numerically)
     const double* bank = &filterbank_[static_cast<size_t>(i) * fft_len_];
-    for (int j = 0; j < fft_len_; ++j) acc += powers[j] * bank[j];
-    mels[i] = safe_log(acc);
+    const int lo = bank_lo_[i], hi = bank_hi_[i];
+    mels[i] = safe_log(dot8(powers.data() + lo, bank + lo, hi - lo));
   }
   // DCT-II ortho, keep n_mfcc, coefficient 0 <- log total power
   out[0] = static_cast<float>(safe_log(total));
-  for (int k = 1; k < cfg_.n_mfcc; ++k) {
-    double acc = 0.0;
-    const double* row = &dct_[static_cast<size_t>(k) * cfg_.n_filt];
-    for (int m = 0; m < cfg_.n_filt; ++m) acc += row[m] * mels[m];
-    out[k] = static_cast<float>(acc);
-  }
+  for (int k = 1; k < cfg_.n_mfcc; ++k)
+    out[k] = static_cast<float>(
+        dot8(&dct_[static_cast<size_t>(k) * cfg_.n_filt], mels.data(),
+             cfg_.n_filt));
 }
 
 int Frontend::segment_features(const float* audio, int n, float* out) const {

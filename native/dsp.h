@@ -74,6 +74,7 @@ class Frontend {
   int fft_len_;
   std::vector<double> filterbank_;  // (n_filt x fft_len) row-major
   std::vector<double> dct_;         // (n_mfcc x n_filt) rows of DCT matrix
+  std::vector<int> bank_lo_, bank_hi_;  // nonzero support per filter row
 };
 
 // Backward-difference deltas appended on the feature axis:

