@@ -172,6 +172,24 @@ static void conv_row_tap(const float* __restrict__ in_row,
   }
 }
 
+// int8 twin of conv_row_tap: int32 accumulation (scaled to float later)
+TSC_SIMD_CLONES
+static void conv_row_tap_i8(const int8_t* __restrict__ in_row,
+                            const int8_t* __restrict__ wrow,
+                            int32_t* __restrict__ out_row, int ox_lo,
+                            int ox_hi, int stride, int x_off, int Cin,
+                            int Cout) {
+  for (int ox = ox_lo; ox < ox_hi; ++ox) {
+    const int8_t* __restrict__ src = &in_row[(ox * stride + x_off) * Cin];
+    int32_t* __restrict__ dst = &out_row[ox * Cout];
+    for (int ci = 0; ci < Cin; ++ci) {
+      const int32_t v = src[ci];
+      for (int co = 0; co < Cout; ++co)
+        dst[co] += v * static_cast<int32_t>(wrow[ci * Cout + co]);
+    }
+  }
+}
+
 // out[:] += x @ w  for a (D, U) row-major w
 TSC_SIMD_CLONES
 static void matvec_f32(const float* __restrict__ x, int D,
@@ -181,6 +199,19 @@ static void matvec_f32(const float* __restrict__ x, int D,
     const float v = x[d];
     const float* __restrict__ row = &w[static_cast<size_t>(d) * U];
     for (int u = 0; u < U; ++u) out[u] += v * row[u];
+  }
+}
+
+// int8 twin: int32 accumulation
+TSC_SIMD_CLONES
+static void matvec_i8(const int8_t* __restrict__ qx, int D,
+                      const int8_t* __restrict__ w, int U,
+                      int32_t* __restrict__ acc) {
+  for (int d = 0; d < D; ++d) {
+    const int32_t v = qx[d];
+    if (v == 0) continue;
+    const int8_t* __restrict__ row = &w[static_cast<size_t>(d) * U];
+    for (int u = 0; u < U; ++u) acc[u] += v * static_cast<int32_t>(row[u]);
   }
 }
 
@@ -212,56 +243,60 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * Cout, 0.0f);
   const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
-  if (kernel.quantized()) {
-    // dynamic-range int8: per-tensor activation scale, int32 accumulation,
-    // per-output-channel weight scales (symmetric — zero padding is exact)
-    std::vector<int8_t> qin;
-    const float in_scale = quantize_acts(in.data(), in.size(), qin);
-    parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
-      std::vector<int32_t> acc(Cout);
-      for (int oy = oy_begin; oy < oy_end; ++oy) {
-        for (int ox = 0; ox < Wo_v; ++ox) {
-          std::fill(acc.begin(), acc.end(), 0);
-          for (int ky = 0; ky < kh; ++ky) {
-            const int iy = oy * stride + ky - ph_v;
-            if (iy < 0 || iy >= H) continue;
-            for (int kx = 0; kx < kw; ++kx) {
-              const int ix = ox * stride + kx - pw_v;
-              if (ix < 0 || ix >= W) continue;
-              const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * Cin];
-              const int8_t* wrow =
-                  &kernel
-                       .qdata[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
-              for (int ci = 0; ci < Cin; ++ci)
-                for (int co = 0; co < Cout; ++co)
-                  acc[co] += static_cast<int32_t>(src[ci]) * wrow[ci * Cout + co];
-            }
-          }
-          float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * Cout];
-          for (int co = 0; co < Cout; ++co)
-            dst[co] = acc[co] * in_scale * kernel.scales[co] +
-                      (bias ? bias[co] : 0.0f);
-        }
-      }
-    });
-    return;
-  }
-  // f32: tap-outer loops — for each (ky, kx) the valid (oy, ox) window is
-  // computed once, so the hot pixel loop runs branch-free (the per-pixel
+  // tap-outer loops — for each (ky, kx) the valid (oy, ox) window is
+  // computed once, so the hot pixel loops run branch-free (the per-pixel
   // in-bounds tests cost more than the MACs on these tiny feature maps).
-  // `out` accumulates across taps in place; it starts at the bias value.
-  if (bias) {
-    for (size_t px = 0; px < static_cast<size_t>(Ho_v) * Wo_v; ++px)
-      std::copy(bias, bias + Cout, &out[px * Cout]);
-  }
   // oy valid iff 0 <= oy*stride + ky - ph < H (ox symmetric); numerators
-  // below are clamped non-negative before the ceil-division
+  // below are clamped non-negative before the ceil-division.
   const auto lo_bound = [](int pad, int k, int s) {
     return pad - k <= 0 ? 0 : (pad - k + s - 1) / s;
   };
   const auto hi_bound = [](int n, int pad, int k, int s, int out_n) {
     return std::min(out_n, (n + pad - k + s - 1) / s);
   };
+  if (kernel.quantized()) {
+    // dynamic-range int8: per-tensor activation scale, int32 accumulation,
+    // per-output-channel weight scales (symmetric — zero padding is exact).
+    // Same tap-outer structure as the f32 path below, with an int32
+    // accumulator plane scaled to float at the end.
+    std::vector<int8_t> qin;
+    const float in_scale = quantize_acts(in.data(), in.size(), qin);
+    std::vector<int32_t> acc(static_cast<size_t>(Ho_v) * Wo_v * Cout, 0);
+    parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
+      for (int ky = 0; ky < kh; ++ky) {
+        const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
+        const int oy_hi =
+            std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ox_lo = lo_bound(pw_v, kx, stride);
+          const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+          const int8_t* wrow =
+              &kernel.qdata[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
+          for (int oy = oy_lo; oy < oy_hi; ++oy) {
+            const int iy = oy * stride + ky - ph_v;
+            conv_row_tap_i8(&qin[static_cast<size_t>(iy) * W * Cin], wrow,
+                            &acc[(static_cast<size_t>(oy) * Wo_v) * Cout],
+                            ox_lo, ox_hi, stride, kx - pw_v, Cin, Cout);
+          }
+        }
+      }
+      for (int oy = oy_begin; oy < oy_end; ++oy) {
+        const int32_t* arow = &acc[(static_cast<size_t>(oy) * Wo_v) * Cout];
+        float* drow = &out[(static_cast<size_t>(oy) * Wo_v) * Cout];
+        for (int ox = 0; ox < Wo_v; ++ox)
+          for (int co = 0; co < Cout; ++co)
+            drow[ox * Cout + co] =
+                arow[ox * Cout + co] * in_scale * kernel.scales[co] +
+                (bias ? bias[co] : 0.0f);
+      }
+    });
+    return;
+  }
+  // f32: `out` accumulates across taps in place; it starts at the bias.
+  if (bias) {
+    for (size_t px = 0; px < static_cast<size_t>(Ho_v) * Wo_v; ++px)
+      std::copy(bias, bias + Cout, &out[px * Cout]);
+  }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
     for (int ky = 0; ky < kh; ++ky) {
       const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
@@ -375,12 +410,7 @@ void matvec_accum(const float* x, int D, const Tensor& kernel,
     std::vector<int8_t> qx;
     const float in_scale = quantize_acts(x, D, qx);
     std::vector<int32_t> acc(U, 0);
-    for (int d = 0; d < D; ++d) {
-      const int32_t v = qx[d];
-      if (v == 0) continue;
-      const int8_t* row = &kernel.qdata[static_cast<size_t>(d) * U];
-      for (int u = 0; u < U; ++u) acc[u] += v * row[u];
-    }
+    matvec_i8(qx.data(), D, kernel.qdata.data(), U, acc.data());
     for (int u = 0; u < U; ++u)
       out[u] += acc[u] * in_scale * kernel.scales[u];
     return;
