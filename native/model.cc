@@ -202,6 +202,32 @@ static void matvec_f32(const float* __restrict__ x, int D,
   }
 }
 
+// depthwise conv taps: per-channel multiply, no channel reduction
+TSC_SIMD_CLONES
+static void dw_row_tap(const float* __restrict__ in_row,
+                       const float* __restrict__ wrow,
+                       float* __restrict__ out_row, int ox_lo, int ox_hi,
+                       int stride, int x_off, int C) {
+  for (int ox = ox_lo; ox < ox_hi; ++ox) {
+    const float* __restrict__ src = &in_row[(ox * stride + x_off) * C];
+    float* __restrict__ dst = &out_row[ox * C];
+    for (int c = 0; c < C; ++c) dst[c] += src[c] * wrow[c];
+  }
+}
+
+TSC_SIMD_CLONES
+static void dw_row_tap_i8(const int8_t* __restrict__ in_row,
+                          const int8_t* __restrict__ wrow,
+                          int32_t* __restrict__ out_row, int ox_lo, int ox_hi,
+                          int stride, int x_off, int C) {
+  for (int ox = ox_lo; ox < ox_hi; ++ox) {
+    const int8_t* __restrict__ src = &in_row[(ox * stride + x_off) * C];
+    int32_t* __restrict__ dst = &out_row[ox * C];
+    for (int c = 0; c < C; ++c)
+      dst[c] += static_cast<int32_t>(src[c]) * static_cast<int32_t>(wrow[c]);
+  }
+}
+
 // int8 twin: int32 accumulation
 TSC_SIMD_CLONES
 static void matvec_i8(const int8_t* __restrict__ qx, int D,
@@ -327,49 +353,60 @@ void depthwise_same(const std::vector<float>& in, int H, int W, int C,
   pad_amounts(W, kw, stride, &Wo, &pw);
   out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
   const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
+  // same tap-outer branch-free structure as conv2d_same
+  const auto lo_bound = [](int pad, int k, int s) {
+    return pad - k <= 0 ? 0 : (pad - k + s - 1) / s;
+  };
+  const auto hi_bound = [](int n, int pad, int k, int s, int out_n) {
+    return std::min(out_n, (n + pad - k + s - 1) / s);
+  };
   if (kernel.quantized()) {
     std::vector<int8_t> qin;
     const float in_scale = quantize_acts(in.data(), in.size(), qin);
+    std::vector<int32_t> acc(static_cast<size_t>(Ho_v) * Wo_v * C, 0);
     parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
-      std::vector<int32_t> acc(C);
-      for (int oy = oy_begin; oy < oy_end; ++oy) {
-        for (int ox = 0; ox < Wo_v; ++ox) {
-          std::fill(acc.begin(), acc.end(), 0);
-          for (int ky = 0; ky < kh; ++ky) {
+      for (int ky = 0; ky < kh; ++ky) {
+        const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
+        const int oy_hi =
+            std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ox_lo = lo_bound(pw_v, kx, stride);
+          const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+          const int8_t* wrow =
+              &kernel.qdata[(static_cast<size_t>(ky) * kw + kx) * C];
+          for (int oy = oy_lo; oy < oy_hi; ++oy) {
             const int iy = oy * stride + ky - ph_v;
-            if (iy < 0 || iy >= H) continue;
-            for (int kx = 0; kx < kw; ++kx) {
-              const int ix = ox * stride + kx - pw_v;
-              if (ix < 0 || ix >= W) continue;
-              const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * C];
-              const int8_t* wrow =
-                  &kernel.qdata[(static_cast<size_t>(ky) * kw + kx) * C];
-              for (int c = 0; c < C; ++c)
-                acc[c] += static_cast<int32_t>(src[c]) * wrow[c];
-            }
+            dw_row_tap_i8(&qin[static_cast<size_t>(iy) * W * C], wrow,
+                          &acc[(static_cast<size_t>(oy) * Wo_v) * C],
+                          ox_lo, ox_hi, stride, kx - pw_v, C);
           }
-          float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * C];
-          for (int c = 0; c < C; ++c)
-            dst[c] = acc[c] * in_scale * kernel.scales[c];
         }
+      }
+      for (int oy = oy_begin; oy < oy_end; ++oy) {
+        const int32_t* arow = &acc[(static_cast<size_t>(oy) * Wo_v) * C];
+        float* drow = &out[(static_cast<size_t>(oy) * Wo_v) * C];
+        for (int ox = 0; ox < Wo_v; ++ox)
+          for (int c = 0; c < C; ++c)
+            drow[ox * C + c] =
+                arow[ox * C + c] * in_scale * kernel.scales[c];
       }
     });
     return;
   }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
-    for (int oy = oy_begin; oy < oy_end; ++oy) {
-      for (int ox = 0; ox < Wo_v; ++ox) {
-        float* dst = &out[(static_cast<size_t>(oy) * Wo_v + ox) * C];
-        for (int ky = 0; ky < kh; ++ky) {
+    for (int ky = 0; ky < kh; ++ky) {
+      const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
+      const int oy_hi = std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+      for (int kx = 0; kx < kw; ++kx) {
+        const int ox_lo = lo_bound(pw_v, kx, stride);
+        const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+        const float* wrow =
+            &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
+        for (int oy = oy_lo; oy < oy_hi; ++oy) {
           const int iy = oy * stride + ky - ph_v;
-          if (iy < 0 || iy >= H) continue;
-          for (int kx = 0; kx < kw; ++kx) {
-            const int ix = ox * stride + kx - pw_v;
-            if (ix < 0 || ix >= W) continue;
-            const float* src = &in[(static_cast<size_t>(iy) * W + ix) * C];
-            const float* wrow = &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
-            for (int c = 0; c < C; ++c) dst[c] += src[c] * wrow[c];
-          }
+          dw_row_tap(&in[static_cast<size_t>(iy) * W * C], wrow,
+                     &out[(static_cast<size_t>(oy) * Wo_v) * C],
+                     ox_lo, ox_hi, stride, kx - pw_v, C);
         }
       }
     }
