@@ -25,7 +25,7 @@ int main(int argc, char** argv) {
   std::string model_path, wav_path;
   int chunk_size = 1024, trigger_level = 3, threads = 1;
   double sensitivity = 0.5;
-  bool realtime = false;
+  bool realtime = false, timing = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -39,10 +39,12 @@ int main(int argc, char** argv) {
     else if (a == "--sensitivity") sensitivity = std::atof(next().c_str());
     else if (a == "--trigger_level") trigger_level = std::atoi(next().c_str());
     else if (a == "--realtime") realtime = true;
+    else if (a == "--timing") timing = true;
     else {
       std::fprintf(stderr,
                    "usage: %s --model m.tscm --wav a.wav [--chunk_size N] "
-                   "[--sensitivity S] [--trigger_level N] [--threads N] [--realtime]\n",
+                   "[--sensitivity S] [--trigger_level N] [--threads N] "
+                   "[--realtime] [--timing]\n",
                    argv[0]);
       return 2;
     }
@@ -75,6 +77,7 @@ int main(int argc, char** argv) {
   const int n_chunks =
       static_cast<int>((wav.samples.size() + chunk_size - 1) / chunk_size);
   std::vector<float> tail;
+  double step_us = 0.0;
   for (int ci = 0; ci < n_chunks; ++ci) {
     const size_t lo = static_cast<size_t>(ci) * chunk_size;
     const float* chunk = &wav.samples[lo];
@@ -83,7 +86,11 @@ int main(int argc, char** argv) {
       std::copy(wav.samples.begin() + lo, wav.samples.end(), tail.begin());
       chunk = tail.data();
     }
+    const auto t0 = std::chrono::steady_clock::now();
     const tsc::StreamRuntime::Step step = runtime.step(chunk);
+    step_us += std::chrono::duration<double, std::micro>(
+                   std::chrono::steady_clock::now() - t0)
+                   .count();
     print_bar(step.label, step.score, sensitivity, step.background);
     if (step.triggered)
       std::printf("command %s detected!\n", step.label.c_str());
@@ -91,6 +98,14 @@ int main(int argc, char** argv) {
     if (realtime)
       std::this_thread::sleep_for(std::chrono::microseconds(
           static_cast<int64_t>(1e6 * chunk_size / model.sample_rate)));
+  }
+  if (timing && n_chunks > 0) {
+    // per-chunk budget is the chunk's own duration (real-time bound)
+    const double budget_us = 1e6 * chunk_size / model.sample_rate;
+    std::printf("per-chunk step time: %.1f us avg over %d chunks "
+                "(budget %.0f us, %.1fx real-time headroom)\n",
+                step_us / n_chunks, n_chunks, budget_us,
+                budget_us / (step_us / n_chunks));
   }
   return 0;
   } catch (const std::exception& e) {

@@ -2,6 +2,7 @@
 Python/JAX reference implementations (builds native/build/libtsc.so on
 demand)."""
 import os
+import re
 import subprocess
 
 import numpy as np
@@ -134,11 +135,17 @@ def test_native_apps_run(tmp_path, audio):
 
     stream_app = os.path.join(REPO, "native", "build", "speech_commands_stream")
     out = subprocess.run(
-        [stream_app, "--model", blob, "--wav", wav],
+        [stream_app, "--model", blob, "--wav", wav, "--timing"],
         capture_output=True, text=True, check=True,
     ).stdout
     # one bar per full chunk
     assert out.count("\n") >= len(audio) // 1024
+    # --timing summary: per-chunk step cost vs the real-time chunk budget
+    m = re.search(r"per-chunk step time: ([\d.]+) us avg over (\d+) chunks",
+                  out)
+    assert m, out
+    assert float(m.group(1)) > 0.0
+    assert int(m.group(2)) >= len(audio) // 1024
 
 
 def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
