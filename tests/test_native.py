@@ -38,6 +38,25 @@ def audio():
     ).astype(np.float32)
 
 
+def test_conv_kernel_oracle_fuzz():
+    """7,200-case shape sweep of the tap-outer SIMD conv kernels against
+    a naive per-pixel oracle (native/test_ops.cc): f32 + int8 conv2d_same
+    and depthwise_same over H/W 1..15, channel mixes, k 1/3, stride 1/2."""
+    binary = os.path.join(REPO, "native", "build", "test_ops")
+    if not os.path.exists(binary):
+        subprocess.run(
+            ["cmake", "-B", "build", "-G", "Ninja", "."],
+            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["ninja", "-C", "build", "test_ops"],
+            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
+        )
+    out = subprocess.run([binary], capture_output=True, text=True,
+                         check=True).stdout
+    assert "cases OK" in out
+
+
 def test_native_mfcc_matches_oracle(audio):
     from tpu_speech_commands.frontend import numpy_ref
     from tpu_speech_commands.native_binding import NativeFrontend
