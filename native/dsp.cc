@@ -4,6 +4,7 @@
 #include <cmath>
 #include <cstring>
 #include <limits>
+#include <map>
 #include <stdexcept>
 
 #include "simd.h"
@@ -69,10 +70,11 @@ struct FftTwiddles {
 };
 
 static const FftTwiddles& fft_twiddles(size_t n) {
-  thread_local FftTwiddles t;
+  // map keyed by n: alternating FFT sizes on one thread (e.g. two
+  // frontend configs side by side) must not rebuild the tables per call
+  thread_local std::map<size_t, FftTwiddles> cache;
+  FftTwiddles& t = cache[n];
   if (t.n != n) {
-    t.wr.clear();
-    t.wi.clear();
     for (size_t len = 2; len <= n; len <<= 1) {
       const double ang = -2.0 * M_PI / static_cast<double>(len);
       const double wr = std::cos(ang), wi = std::sin(ang);

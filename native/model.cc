@@ -247,6 +247,16 @@ static void pad_amounts(int in, int k, int stride, int* out, int* pad_lo) {
   *pad_lo = total / 2;
 }
 
+// Valid output range [tap_lo, tap_hi) of one conv tap k: the o for which
+// 0 <= o*stride + k - pad < n.  Numerators are clamped non-negative
+// before the ceil-division (C++ int division truncates toward zero).
+static int tap_lo(int pad, int k, int stride) {
+  return pad - k <= 0 ? 0 : (pad - k + stride - 1) / stride;
+}
+static int tap_hi(int n, int pad, int k, int stride, int out_n) {
+  return std::min(out_n, std::max(n + pad - k + stride - 1, 0) / stride);
+}
+
 float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q) {
   float amax = 0.0f;
   for (size_t i = 0; i < n; ++i) amax = std::max(amax, std::fabs(x[i]));
@@ -274,12 +284,6 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
   // in-bounds tests cost more than the MACs on these tiny feature maps).
   // oy valid iff 0 <= oy*stride + ky - ph < H (ox symmetric); numerators
   // below are clamped non-negative before the ceil-division.
-  const auto lo_bound = [](int pad, int k, int s) {
-    return pad - k <= 0 ? 0 : (pad - k + s - 1) / s;
-  };
-  const auto hi_bound = [](int n, int pad, int k, int s, int out_n) {
-    return std::min(out_n, (n + pad - k + s - 1) / s);
-  };
   if (kernel.quantized()) {
     // dynamic-range int8: per-tensor activation scale, int32 accumulation,
     // per-output-channel weight scales (symmetric — zero padding is exact).
@@ -290,12 +294,12 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
     std::vector<int32_t> acc(static_cast<size_t>(Ho_v) * Wo_v * Cout, 0);
     parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
       for (int ky = 0; ky < kh; ++ky) {
-        const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
+        const int oy_lo = std::max(oy_begin, tap_lo(ph_v, ky, stride));
         const int oy_hi =
-            std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+            std::min(oy_end, tap_hi(H, ph_v, ky, stride, Ho_v));
         for (int kx = 0; kx < kw; ++kx) {
-          const int ox_lo = lo_bound(pw_v, kx, stride);
-          const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+          const int ox_lo = tap_lo(pw_v, kx, stride);
+          const int ox_hi = tap_hi(W, pw_v, kx, stride, Wo_v);
           const int8_t* wrow =
               &kernel.qdata[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
           for (int oy = oy_lo; oy < oy_hi; ++oy) {
@@ -325,11 +329,11 @@ void conv2d_same(const std::vector<float>& in, int H, int W, int Cin,
   }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
     for (int ky = 0; ky < kh; ++ky) {
-      const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
-      const int oy_hi = std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+      const int oy_lo = std::max(oy_begin, tap_lo(ph_v, ky, stride));
+      const int oy_hi = std::min(oy_end, tap_hi(H, ph_v, ky, stride, Ho_v));
       for (int kx = 0; kx < kw; ++kx) {
-        const int ox_lo = lo_bound(pw_v, kx, stride);
-        const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+        const int ox_lo = tap_lo(pw_v, kx, stride);
+        const int ox_hi = tap_hi(W, pw_v, kx, stride, Wo_v);
         const float* wrow =
             &kernel.data[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
         for (int oy = oy_lo; oy < oy_hi; ++oy) {
@@ -354,24 +358,18 @@ void depthwise_same(const std::vector<float>& in, int H, int W, int C,
   out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
   const int Ho_v = Ho, Wo_v = Wo, ph_v = ph, pw_v = pw;
   // same tap-outer branch-free structure as conv2d_same
-  const auto lo_bound = [](int pad, int k, int s) {
-    return pad - k <= 0 ? 0 : (pad - k + s - 1) / s;
-  };
-  const auto hi_bound = [](int n, int pad, int k, int s, int out_n) {
-    return std::min(out_n, (n + pad - k + s - 1) / s);
-  };
   if (kernel.quantized()) {
     std::vector<int8_t> qin;
     const float in_scale = quantize_acts(in.data(), in.size(), qin);
     std::vector<int32_t> acc(static_cast<size_t>(Ho_v) * Wo_v * C, 0);
     parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
       for (int ky = 0; ky < kh; ++ky) {
-        const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
+        const int oy_lo = std::max(oy_begin, tap_lo(ph_v, ky, stride));
         const int oy_hi =
-            std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+            std::min(oy_end, tap_hi(H, ph_v, ky, stride, Ho_v));
         for (int kx = 0; kx < kw; ++kx) {
-          const int ox_lo = lo_bound(pw_v, kx, stride);
-          const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+          const int ox_lo = tap_lo(pw_v, kx, stride);
+          const int ox_hi = tap_hi(W, pw_v, kx, stride, Wo_v);
           const int8_t* wrow =
               &kernel.qdata[(static_cast<size_t>(ky) * kw + kx) * C];
           for (int oy = oy_lo; oy < oy_hi; ++oy) {
@@ -395,11 +393,11 @@ void depthwise_same(const std::vector<float>& in, int H, int W, int C,
   }
   parallel_for(Ho_v, [&](int oy_begin, int oy_end) {
     for (int ky = 0; ky < kh; ++ky) {
-      const int oy_lo = std::max(oy_begin, lo_bound(ph_v, ky, stride));
-      const int oy_hi = std::min(oy_end, hi_bound(H, ph_v, ky, stride, Ho_v));
+      const int oy_lo = std::max(oy_begin, tap_lo(ph_v, ky, stride));
+      const int oy_hi = std::min(oy_end, tap_hi(H, ph_v, ky, stride, Ho_v));
       for (int kx = 0; kx < kw; ++kx) {
-        const int ox_lo = lo_bound(pw_v, kx, stride);
-        const int ox_hi = hi_bound(W, pw_v, kx, stride, Wo_v);
+        const int ox_lo = tap_lo(pw_v, kx, stride);
+        const int ox_hi = tap_hi(W, pw_v, kx, stride, Wo_v);
         const float* wrow =
             &kernel.data[(static_cast<size_t>(ky) * kw + kx) * C];
         for (int oy = oy_lo; oy < oy_hi; ++oy) {

@@ -2,16 +2,19 @@
 //
 // The production conv2d_same / depthwise_same run tap-outer branch-free
 // loops with SIMD-cloned row kernels; this binary sweeps a shape grid
-// (H, W, Cin, Cout, kh/kw, stride, bias, f32/int8) against a naive
-// per-pixel bounds-checked implementation of the same SAME-padding
-// contract (the shape the original code had).  Exits nonzero with a
-// message on the first mismatch.  Run by tests/test_native.py.
+// (H, W, Cin, Cout, kh/kw, stride, bias, f32/int8, 1 and 3 threads)
+// against naive per-pixel bounds-checked implementations of the same
+// SAME-padding contract (the shape the original code had).  The int8
+// oracle shares ops::quantize_acts and the exact final-scaling
+// expression, so the comparison there is bit-exact.  Exits nonzero with
+// a message on the first mismatch.  Run by tests/test_native.py.
 #include <cmath>
 #include <cstdio>
 #include <random>
 #include <vector>
 
 #include "model.h"
+#include "parallel.h"
 
 using tsc::Tensor;
 
@@ -53,7 +56,46 @@ static void naive_conv(const std::vector<float>& in, int H, int W, int Cin,
     }
 }
 
-// naive depthwise twin
+// naive int8 conv sharing the production quantization and the exact
+// final-scaling expression -> bit-exact comparison
+static void naive_conv_i8(const std::vector<float>& in, int H, int W, int Cin,
+                          const Tensor& kernel, const float* bias, int stride,
+                          std::vector<float>& out, int& Ho, int& Wo) {
+  const int kh = kernel.shape[0], kw = kernel.shape[1];
+  const int Cout = kernel.shape[3];
+  int ph, pw;
+  pad_for(H, kh, stride, &Ho, &ph);
+  pad_for(W, kw, stride, &Wo, &pw);
+  std::vector<int8_t> qin;
+  const float in_scale = tsc::ops::quantize_acts(in.data(), in.size(), qin);
+  out.assign(static_cast<size_t>(Ho) * Wo * Cout, 0.0f);
+  std::vector<int32_t> acc(Cout);
+  for (int oy = 0; oy < Ho; ++oy)
+    for (int ox = 0; ox < Wo; ++ox) {
+      std::fill(acc.begin(), acc.end(), 0);
+      for (int ky = 0; ky < kh; ++ky) {
+        const int iy = oy * stride + ky - ph;
+        if (iy < 0 || iy >= H) continue;
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ix = ox * stride + kx - pw;
+          if (ix < 0 || ix >= W) continue;
+          const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * Cin];
+          const int8_t* wr =
+              &kernel.qdata[((static_cast<size_t>(ky) * kw + kx) * Cin) * Cout];
+          for (int ci = 0; ci < Cin; ++ci)
+            for (int co = 0; co < Cout; ++co)
+              acc[co] += static_cast<int32_t>(src[ci]) *
+                         static_cast<int32_t>(wr[ci * Cout + co]);
+        }
+      }
+      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * Cout];
+      for (int co = 0; co < Cout; ++co)
+        dst[co] = acc[co] * in_scale * kernel.scales[co] +
+                  (bias ? bias[co] : 0.0f);
+    }
+}
+
+// naive depthwise twins
 static void naive_dw(const std::vector<float>& in, int H, int W, int C,
                      const Tensor& kernel, int stride, std::vector<float>& out,
                      int& Ho, int& Wo) {
@@ -80,6 +122,40 @@ static void naive_dw(const std::vector<float>& in, int H, int W, int C,
     }
 }
 
+static void naive_dw_i8(const std::vector<float>& in, int H, int W, int C,
+                        const Tensor& kernel, int stride,
+                        std::vector<float>& out, int& Ho, int& Wo) {
+  const int kh = kernel.shape[0], kw = kernel.shape[1];
+  int ph, pw;
+  pad_for(H, kh, stride, &Ho, &ph);
+  pad_for(W, kw, stride, &Wo, &pw);
+  std::vector<int8_t> qin;
+  const float in_scale = tsc::ops::quantize_acts(in.data(), in.size(), qin);
+  out.assign(static_cast<size_t>(Ho) * Wo * C, 0.0f);
+  std::vector<int32_t> acc(C);
+  for (int oy = 0; oy < Ho; ++oy)
+    for (int ox = 0; ox < Wo; ++ox) {
+      std::fill(acc.begin(), acc.end(), 0);
+      for (int ky = 0; ky < kh; ++ky) {
+        const int iy = oy * stride + ky - ph;
+        if (iy < 0 || iy >= H) continue;
+        for (int kx = 0; kx < kw; ++kx) {
+          const int ix = ox * stride + kx - pw;
+          if (ix < 0 || ix >= W) continue;
+          const int8_t* src = &qin[(static_cast<size_t>(iy) * W + ix) * C];
+          const int8_t* wr =
+              &kernel.qdata[(static_cast<size_t>(ky) * kw + kx) * C];
+          for (int c = 0; c < C; ++c)
+            acc[c] += static_cast<int32_t>(src[c]) *
+                      static_cast<int32_t>(wr[c]);
+        }
+      }
+      float* dst = &out[(static_cast<size_t>(oy) * Wo + ox) * C];
+      for (int c = 0; c < C; ++c)
+        dst[c] = acc[c] * in_scale * kernel.scales[c];
+    }
+}
+
 static int check(const char* what, const std::vector<float>& got,
                  const std::vector<float>& want, float tol) {
   if (got.size() != want.size()) {
@@ -98,10 +174,28 @@ static int check(const char* what, const std::vector<float>& got,
   return 0;
 }
 
-int main() {
+// symmetric per-last-axis int8 quantization of a float kernel
+static Tensor quantize_kernel(const Tensor& ker, int last) {
+  Tensor q;
+  q.shape = ker.shape;
+  q.scales.resize(last);
+  for (int co = 0; co < last; ++co) {
+    float amax = 0.0f;
+    for (size_t i = co; i < ker.data.size(); i += last)
+      amax = std::max(amax, std::fabs(ker.data[i]));
+    q.scales[co] = amax > 0 ? amax / 127.0f : 1.0f;
+  }
+  q.qdata.resize(ker.data.size());
+  for (size_t i = 0; i < ker.data.size(); ++i)
+    q.qdata[i] =
+        static_cast<int8_t>(std::lrintf(ker.data[i] / q.scales[i % last]));
+  return q;
+}
+
+static int run_sweep() {
   std::mt19937 rng(7);
   std::uniform_real_distribution<float> u(-1.0f, 1.0f);
-  int failures = 0, cases = 0;
+  int cases = 0;
   const int dims[] = {1, 2, 3, 5, 8, 15};
   const int chans[] = {1, 3, 16, 33};
   for (int H : dims)
@@ -131,42 +225,32 @@ int main() {
                 naive_conv(in, H, W, Cin, ker, bp, stride, want, ho2, wo2);
                 if (ho1 != ho2 || wo1 != wo2) {
                   std::fprintf(stderr, "conv dims mismatch\n");
-                  return 1;
+                  return -1;
                 }
-                failures += check("conv_f32", got, want, 1e-5f);
+                int failures = check("conv_f32", got, want, 1e-5f);
                 ++cases;
 
-                // int8: same kernel quantized symmetric per-Cout;
-                // compare against the f32 naive result loosely (the
-                // quantization itself is the dominant error)
-                Tensor qker;
-                qker.shape = ker.shape;
-                qker.scales.resize(Cout);
-                for (int co = 0; co < Cout; ++co) {
-                  float amax = 0.0f;
-                  for (size_t i = co; i < ker.data.size(); i += Cout)
-                    amax = std::max(amax, std::fabs(ker.data[i]));
-                  qker.scales[co] = amax > 0 ? amax / 127.0f : 1.0f;
-                }
-                qker.qdata.resize(ker.data.size());
-                for (size_t i = 0; i < ker.data.size(); ++i)
-                  qker.qdata[i] = static_cast<int8_t>(
-                      std::lrintf(ker.data[i] / qker.scales[i % Cout]));
+                // int8 against the exact int8 oracle (same quantization,
+                // same scaling expression): bit-exact
+                Tensor qker = quantize_kernel(ker, Cout);
                 tsc::ops::conv2d_same(in, H, W, Cin, qker, bp, stride, got,
                                       ho1, wo1);
-                failures += check("conv_i8", got, want,
-                                  0.05f * std::sqrt(float(k * k * Cin)));
+                naive_conv_i8(in, H, W, Cin, qker, bp, stride, want, ho2,
+                              wo2);
+                failures += check("conv_i8", got, want, 0.0f);
                 ++cases;
 
                 if (failures) {
                   std::fprintf(stderr,
-                               "at H=%d W=%d Cin=%d Cout=%d k=%d s=%d b=%d\n",
-                               H, W, Cin, Cout, k, stride, with_bias);
-                  return 1;
+                               "at H=%d W=%d Cin=%d Cout=%d k=%d s=%d b=%d "
+                               "threads=%d\n",
+                               H, W, Cin, Cout, k, stride, with_bias,
+                               tsc::ThreadPool::instance().threads());
+                  return -1;
                 }
               }
 
-  // depthwise sweep
+  // depthwise sweep, f32 + exact int8
   for (int H : dims)
     for (int W : dims)
       for (int C : chans)
@@ -183,17 +267,35 @@ int main() {
           naive_dw(in, H, W, C, ker, stride, want, ho2, wo2);
           if (ho1 != ho2 || wo1 != wo2) {
             std::fprintf(stderr, "dw dims mismatch\n");
-            return 1;
+            return -1;
           }
-          failures += check("dw_f32", got, want, 1e-5f);
+          int failures = check("dw_f32", got, want, 1e-5f);
           ++cases;
+
+          Tensor qker = quantize_kernel(ker, C);
+          tsc::ops::depthwise_same(in, H, W, C, qker, stride, got, ho1, wo1);
+          naive_dw_i8(in, H, W, C, qker, stride, want, ho2, wo2);
+          failures += check("dw_i8", got, want, 0.0f);
+          ++cases;
+
           if (failures) {
-            std::fprintf(stderr, "at dw H=%d W=%d C=%d s=%d\n", H, W, C,
-                         stride);
-            return 1;
+            std::fprintf(stderr, "at dw H=%d W=%d C=%d s=%d threads=%d\n", H,
+                         W, C, stride,
+                         tsc::ThreadPool::instance().threads());
+            return -1;
           }
         }
+  return cases;
+}
 
-  std::printf("conv oracle fuzz: %d cases OK\n", cases);
+int main() {
+  int total = 0;
+  for (int threads : {1, 3}) {
+    tsc::ThreadPool::instance().set_threads(threads);
+    const int cases = run_sweep();
+    if (cases < 0) return 1;
+    total += cases;
+  }
+  std::printf("conv oracle fuzz: %d cases OK (1 and 3 threads)\n", total);
   return 0;
 }

@@ -39,9 +39,11 @@ def audio():
 
 
 def test_conv_kernel_oracle_fuzz():
-    """7,200-case shape sweep of the tap-outer SIMD conv kernels against
-    a naive per-pixel oracle (native/test_ops.cc): f32 + int8 conv2d_same
-    and depthwise_same over H/W 1..15, channel mixes, k 1/3, stride 1/2."""
+    """~15k-case shape sweep of the tap-outer SIMD conv kernels against
+    naive per-pixel oracles (native/test_ops.cc): f32 (1e-5) + int8
+    (BIT-EXACT — the oracle shares quantize_acts and the scaling
+    expression) conv2d_same and depthwise_same over H/W 1..15, channel
+    mixes, k 1/3, stride 1/2, bias on/off, at 1 AND 3 pool threads."""
     binary = os.path.join(REPO, "native", "build", "test_ops")
     if not os.path.exists(binary):
         subprocess.run(

@@ -82,22 +82,26 @@ def shard_map_no_check(fn, mesh: Mesh, in_specs, out_specs):
     """shard_map with replication checking off, on the stable API.
 
     Pallas custom calls don't participate in shard_map's sharding-rule
-    inference, so every wrap in this framework disables the check.  JAX
-    0.8 moved shard_map out of jax.experimental and renamed the knob
-    check_rep -> check_vma; this helper targets `jax.shard_map` and falls
-    back to the experimental module on older releases.
+    inference, so every wrap in this framework disables the check.  The
+    stable `jax.shard_map` entry point calls the knob `check_vma`; older
+    releases (and the jax.experimental module the stable one replaced)
+    call it `check_rep` — probe the signature rather than the version.
     """
-    if hasattr(jax, "shard_map"):
-        return jax.shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-    from jax.experimental.shard_map import shard_map as _shard_map
+    import inspect
 
-    return _shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False,
-    )
+    stable = getattr(jax, "shard_map", None)
+    if stable is None:
+        from jax.experimental.shard_map import shard_map as sm
+
+        use_vma = False  # the experimental module always used check_rep
+    else:
+        sm = stable
+        try:
+            use_vma = "check_vma" in inspect.signature(sm).parameters
+        except (TypeError, ValueError):  # unsignaturable wrapper: assume new
+            use_vma = True
+    kw = {"check_vma": False} if use_vma else {"check_rep": False}
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 
 def state_sharding(tree, mesh: Mesh, with_model_parallel: bool = True):
