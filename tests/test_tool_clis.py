@@ -202,6 +202,21 @@ def test_bench_serving_cli(artifacts):
     assert "simple_cnn_lite" in line["metric"]
 
 
+def test_bench_native_cli():
+    """bench_native.py reproduces the PARITY native table (tiny run)."""
+    out = run_cli(
+        "tools/evaluation/bench_native.py",
+        "--loop_count", "20", "--runs", "1",
+    ).stdout
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["metric"] == "native_invoke_ms_simple_gru"
+    assert line["value"] > 0
+    assert {r["family"] for r in line["rows"]} == {
+        "simple_cnn", "simple_cnn_lite", "simple_gru", "simple_lstm"}
+    for r in line["rows"]:
+        assert r["invoke_int8_ms"] > 0 and r["stream_step_us"] > 0
+
+
 def test_eval_cli_with_onnx_model(artifacts):
     """eval.py accepts an .onnx model (reference 5-format eval matrix)."""
     from tpu_speech_commands.data.synthetic import make_synthetic_dataset
