@@ -228,6 +228,43 @@ static void dw_row_tap_i8(const int8_t* __restrict__ in_row,
   }
 }
 
+// Branch-free expf for the activation passes: 2^round(x*log2e) * 2^f
+// with a degree-6 polynomial on f in [-0.5, 0.5]; relative error < 2e-7
+// (validated against std::exp in native/test_ops.cc), far inside the
+// 1e-4 score-parity tolerances.  Every op (rint, int convert, exponent
+// bit assembly) vectorizes, unlike libm exp calls under strict FP.
+static inline float fast_expf(float v) {
+  v = v < -87.0f ? -87.0f : (v > 88.0f ? 88.0f : v);
+  const float z = v * 1.4426950408889634f;  // log2(e)
+  const float zr = std::rint(z);
+  const float f = z - zr;  // [-0.5, 0.5]
+  // exp(f*ln2), Horner; c_k = ln2^k / k!
+  float p = 1.5403530393381609e-4f;
+  p = p * f + 1.3333558146428443e-3f;
+  p = p * f + 9.6181291076284772e-3f;
+  p = p * f + 5.5504108664821580e-2f;
+  p = p * f + 2.4022650695910072e-1f;
+  p = p * f + 6.9314718055994531e-1f;
+  p = p * f + 1.0f;
+  union {
+    uint32_t u;
+    float f32;
+  } s;
+  s.u = static_cast<uint32_t>(static_cast<int>(zr) + 127) << 23;
+  return p * s.f32;
+}
+
+TSC_SIMD_CLONES
+void sigmoid_inplace(float* __restrict__ x, int n) {
+  for (int i = 0; i < n; ++i) x[i] = 1.0f / (1.0f + fast_expf(-x[i]));
+}
+
+TSC_SIMD_CLONES
+void tanh_inplace(float* __restrict__ x, int n) {
+  for (int i = 0; i < n; ++i)
+    x[i] = 2.0f / (1.0f + fast_expf(-2.0f * x[i])) - 1.0f;
+}
+
 // int8 twin: int32 accumulation
 TSC_SIMD_CLONES
 static void matvec_i8(const int8_t* __restrict__ qx, int D,
@@ -480,8 +517,6 @@ void softmax(std::vector<float>& x) {
 
 namespace {
 
-inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
-
 const Tensor& get(const std::map<std::string, Tensor>& t, const std::string& k) {
   auto it = t.find(k);
   if (it == t.end()) throw std::runtime_error("missing tensor: " + k);
@@ -609,7 +644,7 @@ std::vector<float> rnn_forward(const NativeModel& m,
       const Tensor& br = get(m.tensors, cell + "bias_recurrent");
       // gate buffers hoisted out of the timestep loop: the streaming apps
       // call predict per chunk, so per-t allocations sit on the latency path
-      std::vector<float> xw(3 * U), hw(3 * U);
+      std::vector<float> xw(3 * U), hw(3 * U), zr(2 * U);
       for (int t = 0; t < T; ++t) {
         const float* x = &seq[static_cast<size_t>(t) * D];
         std::fill(xw.begin(), xw.end(), 0.0f);
@@ -620,9 +655,11 @@ std::vector<float> rnn_forward(const NativeModel& m,
           xw[u] += bi.data[u];
           hw[u] += br.data[u];
         }
+        // z and r gates as one vectorized sigmoid pass
+        for (int u = 0; u < 2 * U; ++u) zr[u] = xw[u] + hw[u];
+        ops::sigmoid_inplace(zr.data(), 2 * U);
         for (int u = 0; u < U; ++u) {
-          const float z = sigmoidf(xw[u] + hw[u]);
-          const float r = sigmoidf(xw[U + u] + hw[U + u]);
+          const float z = zr[u], r = zr[U + u];
           const float cand = xw[2 * U + u] + r * hw[2 * U + u];  // linear act
           h[u] = z * h[u] + (1.0f - z) * cand;
         }
@@ -631,21 +668,25 @@ std::vector<float> rnn_forward(const NativeModel& m,
       }
     } else {
       const Tensor& B = get(m.tensors, cell + "bias");
-      std::vector<float> g(4 * U);
+      std::vector<float> g(4 * U), tc(U);
       for (int t = 0; t < T; ++t) {
         const float* x = &seq[static_cast<size_t>(t) * D];
         std::fill(g.begin(), g.end(), 0.0f);
         ops::matvec_accum(x, D, K, g);
         ops::matvec_accum(h.data(), U, R, g);
         for (int u = 0; u < 4 * U; ++u) g[u] += B.data[u];
+        // Keras gate order i|f|cand|o: vectorized activation passes over
+        // each contiguous block (the LSTM's 6U transcendentals per step
+        // dominated the scalar-libm invoke time)
+        ops::sigmoid_inplace(g.data(), 2 * U);           // i, f
+        ops::tanh_inplace(g.data() + 2 * U, U);          // cand
+        ops::sigmoid_inplace(g.data() + 3 * U, U);       // o
         for (int u = 0; u < U; ++u) {
-          const float i = sigmoidf(g[u]);
-          const float f = sigmoidf(g[U + u]);
-          const float cand = std::tanh(g[2 * U + u]);
-          const float o = sigmoidf(g[3 * U + u]);
-          c[u] = f * c[u] + i * cand;
-          h[u] = o * std::tanh(c[u]);
+          c[u] = g[U + u] * c[u] + g[u] * g[2 * U + u];
+          tc[u] = c[u];
         }
+        ops::tanh_inplace(tc.data(), U);
+        for (int u = 0; u < U; ++u) h[u] = g[3 * U + u] * tc[u];
         if (!last)
           std::copy(h.begin(), h.end(), out_seq.begin() + static_cast<size_t>(t) * U);
       }

@@ -90,6 +90,11 @@ void softmax(std::vector<float>& x);
 // q = round(x/scale).  Used by the int8 kernel paths.
 float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q);
 
+// Vectorized in-place activations using a branch-free expf approximation
+// (relative error < 2e-7; accuracy locked by native/test_ops.cc).
+void sigmoid_inplace(float* x, int n);
+void tanh_inplace(float* x, int n);
+
 }  // namespace ops
 
 }  // namespace tsc

@@ -288,6 +288,29 @@ static int run_sweep() {
   return cases;
 }
 
+// accuracy lock for the vectorized activation passes (fast_expf based)
+static int check_activations() {
+  const int n = 24001;
+  std::vector<float> xs(n), sig(n), th(n);
+  for (int i = 0; i < n; ++i) xs[i] = -30.0f + 60.0f * i / (n - 1);
+  sig = xs;
+  th = xs;
+  tsc::ops::sigmoid_inplace(sig.data(), n);
+  tsc::ops::tanh_inplace(th.data(), n);
+  double max_sig = 0.0, max_tanh = 0.0;
+  for (int i = 0; i < n; ++i) {
+    const double x = xs[i];
+    max_sig = std::max(max_sig, std::fabs(sig[i] - 1.0 / (1.0 + std::exp(-x))));
+    max_tanh = std::max(max_tanh, std::fabs(th[i] - std::tanh(x)));
+  }
+  if (max_sig > 1e-6 || max_tanh > 2e-6) {
+    std::fprintf(stderr, "activation error too large: sigmoid %g tanh %g\n",
+                 max_sig, max_tanh);
+    return -1;
+  }
+  return 2 * n;
+}
+
 int main() {
   int total = 0;
   for (int threads : {1, 3}) {
@@ -296,6 +319,9 @@ int main() {
     if (cases < 0) return 1;
     total += cases;
   }
+  const int act = check_activations();
+  if (act < 0) return 1;
+  total += act;
   std::printf("conv oracle fuzz: %d cases OK (1 and 3 threads)\n", total);
   return 0;
 }
