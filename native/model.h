@@ -3,7 +3,8 @@
 // Executes the four model families of the framework (simple_cnn,
 // simple_cnn_lite, simple_gru, simple_lstm — see
 // tpu_speech_commands/models/) directly from the flax parameter layout,
-// NHWC, with BatchNorm folded at load time.  This replaces the reference's
+// NHWC, with BatchNorm applied from running stats as a (cheap)
+// elementwise pass per block.  This replaces the reference's
 // dependence on TFLite/MNN engines for on-device deployment
 // (inference/{tflite,MNN}/speech_commands.cpp) with a self-contained
 // runtime consuming the framework's own export format.
