@@ -4,6 +4,7 @@
 #include <string>
 
 #include "model.h"
+#include "stream_runtime.h"
 
 extern "C" {
 
@@ -43,6 +44,51 @@ int tsc_model_predict(tsc_model_t m, const float* features, int count,
     std::vector<float> out = nm->predict(in);
     std::memcpy(scores_out, out.data(), out.size() * sizeof(float));
     return static_cast<int>(out.size());
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---- streaming engine (StreamRuntime) --------------------------------------
+// The full per-chunk pipeline — ring append, incremental features,
+// invoke, ThresholdDecoder, TriggerDetector — as used by the native
+// stream/ALSA apps (stream_runtime.h).  The model handle must outlive
+// the stream handle.
+
+typedef void* tsc_stream_t;
+
+tsc_stream_t tsc_stream_create(tsc_model_t model, int chunk_size,
+                               double sensitivity, int trigger_level) {
+  if (!model) return nullptr;
+  const auto* nm = static_cast<tsc::NativeModel*>(model);
+  if (!tsc::check_chunk_size(*nm, chunk_size).empty()) return nullptr;
+  try {
+    return new tsc::StreamRuntime(*nm, chunk_size, sensitivity,
+                                  trigger_level);
+  } catch (const std::exception&) {
+    return nullptr;
+  }
+}
+
+void tsc_stream_destroy(tsc_stream_t s) {
+  delete static_cast<tsc::StreamRuntime*>(s);
+}
+
+// chunk: chunk_size float samples in [-1, 1].  Outputs: top class index,
+// its score (ThresholdDecoder-decoded for commands, raw softmax for
+// background), background flag, trigger flag.  Returns 0, or -1 on error.
+int tsc_stream_step(tsc_stream_t s, const float* chunk, int* index_out,
+                    float* score_out, int* background_out,
+                    int* triggered_out) {
+  if (!s || !chunk) return -1;
+  try {
+    const tsc::StreamRuntime::Step step =
+        static_cast<tsc::StreamRuntime*>(s)->step(chunk);
+    if (index_out) *index_out = step.index;
+    if (score_out) *score_out = static_cast<float>(step.score);
+    if (background_out) *background_out = step.background ? 1 : 0;
+    if (triggered_out) *triggered_out = step.triggered ? 1 : 0;
+    return 0;
   } catch (const std::exception&) {
     return -1;
   }

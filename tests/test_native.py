@@ -169,6 +169,52 @@ def test_native_apps_run(tmp_path, audio):
     assert int(m.group(2)) >= len(audio) // 1024
 
 
+def test_native_streamer_capi_matches_stream_app(tmp_path):
+    """The ctypes NativeStreamer (tsc_stream_* C ABI) runs the SAME
+    StreamRuntime the stream app embeds — the per-chunk label sequence and
+    trigger events must match the app's output exactly."""
+    from tpu_speech_commands.data.synthetic import synth_command_audio
+    from tpu_speech_commands.data.wav import save_audio
+    from tpu_speech_commands.native_binding import NativeModel, NativeStreamer
+
+    blob = os.path.join(REPO, "pretrained", "direction_simple_gru.tscm")
+    classes = ["background", "left", "right", "up", "down"]
+    wav = str(tmp_path / "left.wav")
+    audio_np = synth_command_audio("left", np.random.default_rng(3))
+    save_audio(wav, audio_np)
+
+    # app run
+    app = os.path.join(REPO, "native", "build", "speech_commands_stream")
+    out = subprocess.run(
+        [app, "--model", blob, "--wav", wav, "--trigger_level", "1"],
+        capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    app_labels, app_triggers = [], []
+    for line in out:
+        if line.startswith("command "):
+            app_triggers.append(len(app_labels) - 1)
+            continue
+        app_labels.append(line.lstrip("Xx-") or "background")
+
+    # ctypes run over the same chunks (app zero-pads the ragged tail)
+    model = NativeModel(blob)
+    streamer = NativeStreamer(model, chunk_size=1024, trigger_level=1)
+    got_labels, got_triggers = [], []
+    n_chunks = -(-len(audio_np) // 1024)
+    padded = np.zeros(n_chunks * 1024, np.float32)
+    padded[: len(audio_np)] = audio_np
+    for ci in range(n_chunks):
+        step = streamer.step(padded[ci * 1024 : (ci + 1) * 1024])
+        got_labels.append(classes[step["index"]])
+        if step["triggered"]:
+            got_triggers.append(ci)
+        assert 0.0 <= step["score"] <= 1.0
+    assert got_labels == app_labels
+    assert got_triggers == app_triggers
+    # the synthesized 'left' must actually be detected somewhere
+    assert "left" in got_labels and got_triggers
+
+
 def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
     """A multi-component threshold_config must reach the C++ decoder (the
     loader keeps the whole mixture, not just the first pair — matching

@@ -65,6 +65,20 @@ def lib():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        _lib.tsc_stream_create.restype = ctypes.c_void_p
+        _lib.tsc_stream_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ]
+        _lib.tsc_stream_destroy.argtypes = [ctypes.c_void_p]
+        _lib.tsc_stream_step.restype = ctypes.c_int
+        _lib.tsc_stream_step.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
     return _lib
 
 
@@ -140,5 +154,58 @@ class NativeModel:
         if getattr(self, "_m", None):
             try:
                 lib().tsc_model_destroy(self._m)
+            except Exception:
+                pass
+
+
+class NativeStreamer:
+    """The native per-chunk streaming engine (StreamRuntime) over ctypes:
+    ring append -> incremental features -> invoke -> ThresholdDecoder ->
+    TriggerDetector — the exact pipeline the native stream/ALSA apps run
+    (native/stream_runtime.h), drivable from any host process."""
+
+    def __init__(self, model: "NativeModel", chunk_size: int = 1024,
+                 sensitivity: float = 0.5, trigger_level: int = 3):
+        self._model = model  # keep the model handle alive (C side borrows)
+        self.chunk_size = chunk_size
+        self._s = lib().tsc_stream_create(
+            model._m, chunk_size, sensitivity, trigger_level
+        )
+        if not self._s:
+            raise RuntimeError(
+                f"failed to create native stream (chunk_size {chunk_size} "
+                f"out of range for this model?)"
+            )
+
+    def step(self, chunk: np.ndarray) -> dict:
+        """One chunk_size float chunk -> {index, score, background,
+        triggered}; score is decoded for commands, raw for background."""
+        chunk = np.ascontiguousarray(chunk, np.float32)
+        if chunk.size != self.chunk_size:
+            raise ValueError(
+                f"chunk has {chunk.size} samples, expected {self.chunk_size}"
+            )
+        idx = ctypes.c_int()
+        score = ctypes.c_float()
+        bg = ctypes.c_int()
+        trig = ctypes.c_int()
+        rc = lib().tsc_stream_step(
+            self._s, chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(idx), ctypes.byref(score), ctypes.byref(bg),
+            ctypes.byref(trig),
+        )
+        if rc != 0:
+            raise RuntimeError("native stream step failed")
+        return {
+            "index": idx.value,
+            "score": float(score.value),
+            "background": bool(bg.value),
+            "triggered": bool(trig.value),
+        }
+
+    def __del__(self):
+        if getattr(self, "_s", None):
+            try:
+                lib().tsc_stream_destroy(self._s)
             except Exception:
                 pass
