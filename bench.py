@@ -215,5 +215,37 @@ def main():
     )
 
 
+def _arm_watchdog():
+    """Fail loudly instead of hanging forever when the TPU tunnel is down.
+
+    A dead tunnel makes jax device init block indefinitely at 0% CPU
+    (CLAUDE.md: observed multi-hour outages); without a watchdog the
+    whole bench run hangs with no diagnostic.  Generous default — a cold
+    compile through the tunnel is ~2-5 min per path and main() tries 3.
+    """
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("TSC_BENCH_TIMEOUT_S", "2400"))
+    if timeout_s <= 0:
+        return
+
+    def fire():
+        import sys
+
+        print(
+            f"bench.py watchdog: no result after {timeout_s:.0f}s — "
+            "TPU tunnel down or device lease stuck; aborting",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _arm_watchdog()
     main()
