@@ -294,14 +294,34 @@ static int tap_hi(int n, int pad, int k, int stride, int out_n) {
   return std::min(out_n, std::max(n + pad - k + stride - 1, 0) / stride);
 }
 
-float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q) {
-  float amax = 0.0f;
-  for (size_t i = 0; i < n; ++i) amax = std::max(amax, std::fabs(x[i]));
-  const float scale = amax > 0 ? amax / 127.0f : 1.0f;
-  const float inv = 1.0f / scale;
-  q.resize(n);
+// abs-max reduction with 8 independent partials (vectorizable under
+// strict FP, same result — max is associative)
+TSC_SIMD_CLONES
+static float absmax_f32(const float* __restrict__ x, size_t n) {
+  float m[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8)
+    for (int l = 0; l < 8; ++l) m[l] = std::max(m[l], std::fabs(x[i + l]));
+  float r = std::max(std::max(std::max(m[0], m[1]), std::max(m[2], m[3])),
+                     std::max(std::max(m[4], m[5]), std::max(m[6], m[7])));
+  for (; i < n; ++i) r = std::max(r, std::fabs(x[i]));
+  return r;
+}
+
+TSC_SIMD_CLONES
+static void scale_round_i8(const float* __restrict__ x, size_t n, float inv,
+                           int8_t* __restrict__ q) {
+  // rintf vectorizes (round-to-nearest-even, matching lrintf's default
+  // rounding mode); the products are within int8 range by construction
   for (size_t i = 0; i < n; ++i)
-    q[i] = static_cast<int8_t>(std::lrintf(x[i] * inv));
+    q[i] = static_cast<int8_t>(std::rintf(x[i] * inv));
+}
+
+float quantize_acts(const float* x, size_t n, std::vector<int8_t>& q) {
+  const float amax = absmax_f32(x, n);
+  const float scale = amax > 0 ? amax / 127.0f : 1.0f;
+  q.resize(n);
+  scale_round_i8(x, n, 1.0f / scale, q.data());
   return scale;
 }
 
