@@ -214,6 +214,12 @@ def test_native_streamer_capi_matches_stream_app(tmp_path):
     # the synthesized 'left' must actually be detected somewhere
     assert "left" in got_labels and got_triggers
 
+    # the C side enforces the same chunk bounds as check_chunk_size
+    with pytest.raises(RuntimeError, match="chunk_size"):
+        NativeStreamer(model, chunk_size=10 ** 6)
+    with pytest.raises(ValueError, match="samples"):
+        streamer.step(np.zeros(7, np.float32))
+
 
 def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
     """A multi-component threshold_config must reach the C++ decoder (the
