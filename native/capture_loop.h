@@ -9,6 +9,7 @@
 #pragma once
 
 #include <cerrno>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <vector>
@@ -33,6 +34,7 @@ struct CaptureStats {
   long chunks = 0;              // full chunks fed through the runtime
   long overruns_recovered = 0;  // -EPIPE reads followed by recover()==0
   long short_reads = 0;         // partial periods dropped
+  double step_us = 0.0;         // total StreamRuntime::step wall time
   bool failed = false;          // ended on an unrecoverable error
 };
 
@@ -69,7 +71,11 @@ CaptureStats run_capture_loop(PcmReader& reader, StreamRuntime& runtime,
       continue;
     }
     for (int i = 0; i < chunk_size; ++i) chunk[i] = pcm_buf[i] / 32768.0f;
+    const auto t0 = std::chrono::steady_clock::now();
     const StreamRuntime::Step step = runtime.step(chunk.data());
+    stats.step_us += std::chrono::duration<double, std::micro>(
+                         std::chrono::steady_clock::now() - t0)
+                         .count();
     ++stats.chunks;
     on_step(step);
   }

@@ -124,10 +124,14 @@ int main(int argc, char** argv) {
           std::printf("command %s detected!\n", step.label.c_str());
       });
   snd_pcm_close(pcm);
-  // observable evidence for tests / ops: how the capture session ended
+  // observable evidence for tests / ops: how the capture session ended,
+  // including the per-chunk step cost vs the real-time chunk budget
+  const double budget_us = 1e6 * chunk_size / model.sample_rate;
   std::printf("capture done: chunks=%ld overruns_recovered=%ld "
-              "short_reads=%ld\n",
-              stats.chunks, stats.overruns_recovered, stats.short_reads);
+              "short_reads=%ld step_us_avg=%.1f budget_us=%.0f\n",
+              stats.chunks, stats.overruns_recovered, stats.short_reads,
+              stats.chunks > 0 ? stats.step_us / stats.chunks : 0.0,
+              budget_us);
   return stats.failed ? 1 : 0;
   } catch (const std::exception& e) {
     // clean rejection instead of std::terminate/SIGABRT on bad inputs

@@ -511,6 +511,9 @@ def test_alsa_app_runs_with_overrun_recovery(tmp_path, audio):
     n_chunks = int(stats["chunks"])
     assert n_chunks == (len(pcm) - 512) // 1024
     assert out.count("\n") == n_chunks + 1  # one bar per chunk + stats
+    # per-chunk step cost is reported against the real-time budget
+    assert float(stats["step_us_avg"]) > 0.0
+    assert float(stats["budget_us"]) == 64000.0
 
     # without recovery-fault injection the same capture is clean
     env_clean = dict(os.environ, TSC_FAKE_ALSA_PCM=pcm_path)
