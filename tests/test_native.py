@@ -220,6 +220,13 @@ def test_native_streamer_capi_matches_stream_app(tmp_path):
     with pytest.raises(ValueError, match="samples"):
         streamer.step(np.zeros(7, np.float32))
 
+    # handle-lifecycle churn: many create/step/destroy rounds must not
+    # corrupt state (the full loop is also ASan/LSan-clean, DESIGN.md §9)
+    for _ in range(50):
+        s2 = NativeStreamer(model, chunk_size=1024)
+        s2.step(np.zeros(1024, np.float32))
+        del s2
+
 
 def test_native_stream_app_full_threshold_mixture(tmp_path, audio):
     """A multi-component threshold_config must reach the C++ decoder (the
