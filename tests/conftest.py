@@ -27,6 +27,36 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture
+def native_lib() -> str:
+    """Build native/build/libtsc.so on demand; skip if it can't be built.
+
+    Tests that exercise the .tscm native runtime outside test_native.py
+    (which has its own build-on-demand fixture) request this so a fresh
+    checkout — where native/build/ is untracked — doesn't fail on test
+    order (test_cli sorts before test_native)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib = os.path.join(repo, "native", "build", "libtsc.so")
+    if os.path.exists(lib):
+        return lib
+    try:
+        subprocess.run(
+            ["cmake", "-B", "build", "-G", "Ninja", "."],
+            cwd=os.path.join(repo, "native"), check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            ["ninja", "-C", "build"],
+            cwd=os.path.join(repo, "native"), check=True,
+            capture_output=True,
+        )
+    except (OSError, subprocess.CalledProcessError) as e:
+        pytest.skip(f"native runtime not built and build failed: {e}")
+    return lib
+
+
 @pytest.fixture(autouse=True)
 def _restore_pr():
     """Snapshot/restore the global `pr` singleton around every test — the

@@ -160,7 +160,7 @@ def test_train_resume_flag(tmp_path, capsys):
     assert "Resumed from" in out
 
 
-def test_bark_lstm_full_path(tmp_path, capsys):
+def test_bark_lstm_full_path(tmp_path, capsys, native_lib):
     """BASELINE config 4 (simple_lstm + bark frontend) trained END TO END:
     train -> eval -> listen replay -> ONNX + native export with score
     parity across formats on the bark features (round-2 verdict #5 — bark
@@ -169,6 +169,7 @@ def test_bark_lstm_full_path(tmp_path, capsys):
     import eval as eval_cli
     import train as train_cli
 
+    # native_lib fixture: the export-parity tail loads the .tscm via ctypes
     root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
                                   samples_per_class=8)
     train_cli.main(_train_args(tmp_path, root, **{
