@@ -35,7 +35,7 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
           outer: int = 8, model_type: str = "simple_gru",
           use_pallas: bool = True, audio_dtype: str = "float32",
           fuse_conv1: "bool | str" = False, classifier_tile: int = 16,
-          handoff_dtype: str = "float32") -> float:
+          handoff_dtype: str = "float32", time_major: bool = False) -> float:
     # batch 8192 measured best for the GRU flagship (4096: ~3.8M, 8192:
     # ~4.35M w/s — bigger batches amortise per-dispatch scan overheads;
     # 16384 compiles for many minutes through the tunnel for ~no gain)
@@ -56,8 +56,11 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         # between the frontend and a bf16 Pallas classifier; the
         # classifier rounds its matmul inputs to bf16 anyway, so the
         # scores are bit-identical (tests/test_pallas_frontend.py)
+        # time_major hands off (T, B, F): both kernels drop their
+        # narrow-lane sublane transposes (ops/pallas_frontend.py)
         frontend = make_fused_frontend(
-            pr, batch_tile=16, out_dtype=jnp.dtype(handoff_dtype)
+            pr, batch_tile=16, out_dtype=jnp.dtype(handoff_dtype),
+            time_major=time_major,
         )
     else:
         fe = Frontend(pr)
@@ -82,6 +85,12 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
             f"fuse_conv1 must be False, True, 'classifier' or 'rnn'; got "
             f"{fuse_conv1!r}"
         )
+    if time_major and (not use_pallas or
+                       fuse_conv1 not in ("classifier", "rnn")):
+        raise ValueError(
+            "time_major needs the fused frontend AND a fused classifier "
+            "(fuse_conv1='classifier'|'rnn') — the XLA paths are batch-major"
+        )
     if fuse_conv1 == "classifier":
         # whole-classifier megakernel: all conv blocks + dense head in ONE
         # Pallas kernel — zero intermediate HBM traffic
@@ -93,6 +102,7 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         fused_cls = make_fused_cnn_classifier(
             variables, separable=(model_type == "simple_cnn_lite"),
             batch_tile=classifier_tile, compute_dtype=jnp.bfloat16,
+            time_major=time_major,
         )
 
         def forward(variables, audio, gain):
@@ -108,6 +118,7 @@ def bench(batch_size: int = 8192, k_inner: int = 128,
         fused_rnn = make_fused_rnn_classifier(
             variables, cell_type=model_type.removeprefix("simple_"),
             batch_tile=classifier_tile, compute_dtype=jnp.bfloat16,
+            time_major=time_major,
         )
 
         def forward(variables, audio, gain):
@@ -179,7 +190,7 @@ def main():
     attempts = [
         ("fused Pallas CT-DFT MFCC + fused RNN classifier kernel",
          dict(use_pallas=True, fuse_conv1="rnn", classifier_tile=128,
-              handoff_dtype="bfloat16")),
+              handoff_dtype="bfloat16", time_major=True)),
         ("fused Pallas CT-DFT MFCC + XLA scan classifier",
          dict(use_pallas=True)),
         ("XLA GEMM MFCC + XLA scan classifier",

@@ -176,3 +176,28 @@ def test_fused_classifier_even_stride2_dims(h, w):
     got = np.asarray(fused(x))
     want = np.asarray(model.apply(variables, x, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_classifier_time_major_bit_identical():
+    """time_major consumes (H, B, W) — the fused frontend's transpose-free
+    handoff layout — and must score bit-identically to batch-major."""
+    from tpu_speech_commands.ops.pallas_classifier import (
+        make_fused_cnn_classifier,
+    )
+
+    h, w = 30, 20
+    _, variables = _init_with_real_stats("simple_cnn", 5, h, w, seed=8)
+    x = jax.random.normal(jax.random.PRNGKey(25), (8, h, w))
+    bm = make_fused_cnn_classifier(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True,
+    )
+    tm = make_fused_cnn_classifier(
+        variables, n_features=h, feature_size=w, batch_tile=4,
+        interpret=True, time_major=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bm(x)), np.asarray(tm(jnp.swapaxes(x, 0, 1)))
+    )
+    with pytest.raises(ValueError):
+        tm(x)  # batch-major shape rejected by the time-major contract

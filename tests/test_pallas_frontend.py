@@ -299,3 +299,32 @@ def test_xla_fallback_frontend_accepts_gain():
     )
     feats_pcm = fe(pcm, 1.0)  # int16 decode must precede the gain multiply
     assert np.all(np.isfinite(np.asarray(feats_pcm)))
+
+
+@pytest.mark.parametrize("dft_mode", ["ct", "dense"])
+def test_time_major_is_transposed_batch_major(audio_batch, dft_mode):
+    """time_major emits (T, B, F) with no in-kernel transpose; the values
+    must be bit-identical to the batch-major layout's."""
+    p = ListenerParams()
+    a = jnp.asarray(audio_batch)
+    bm = make_fused_frontend(p, batch_tile=4, interpret=True,
+                             dft_mode=dft_mode)
+    tm = make_fused_frontend(p, batch_tile=4, interpret=True,
+                             dft_mode=dft_mode, time_major=True)
+    got = np.asarray(tm(a))
+    assert got.shape == (30, 8, 20)
+    np.testing.assert_array_equal(got.transpose(1, 0, 2), np.asarray(bm(a)))
+
+
+def test_time_major_trim_contract():
+    """hop_t=0.03 yields 32 frames from max_samples; the time-major output
+    must keep the tail-aligned n_features=31 along axis 0."""
+    p = ListenerParams(hop_t=0.03)
+    rng = np.random.default_rng(17)
+    a = jnp.asarray(rng.standard_normal((4, p.max_samples)).astype(np.float32))
+    bm = make_fused_frontend(p, batch_tile=4, interpret=True)
+    tm = make_fused_frontend(p, batch_tile=4, interpret=True,
+                             time_major=True)
+    got = np.asarray(tm(a))
+    assert got.shape == (p.n_features, 4, p.n_mfcc)
+    np.testing.assert_array_equal(got.transpose(1, 0, 2), np.asarray(bm(a)))

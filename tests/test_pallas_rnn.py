@@ -91,3 +91,24 @@ def test_fused_rnn_bf16_close_to_f32():
     want = np.asarray(model.apply(variables, x, train=False))
     # logits are O(1); bf16 matmuls with f32 accumulation keep ~2 decimals
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_fused_rnn_time_major_bit_identical():
+    """time_major consumes (T, B, D) — the fused frontend's transpose-free
+    handoff layout — and must score bit-identically to batch-major."""
+    t, d = 30, 20
+    _, variables = _init("simple_gru", 5, t, d, seed=4)
+    x = jax.random.normal(jax.random.PRNGKey(11), (8, t, d))
+    bm = make_fused_rnn_classifier(
+        variables, cell_type="gru", n_features=t, feature_size=d,
+        batch_tile=4, interpret=True,
+    )
+    tm = make_fused_rnn_classifier(
+        variables, cell_type="gru", n_features=t, feature_size=d,
+        batch_tile=4, interpret=True, time_major=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bm(x)), np.asarray(tm(jnp.swapaxes(x, 0, 1)))
+    )
+    with pytest.raises(ValueError):
+        tm(x)  # batch-major shape rejected by the time-major contract

@@ -73,10 +73,10 @@ def test_scorer_bf16_handoff_bit_identical(tmp_path, audio_batch,
     bf16 = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
                              use_pallas=True,
                              compute_dtype=jnp.bfloat16)
-    assert bf16.paths["frontend"] == "pallas-ct(bf16-handoff)"
+    assert bf16.paths["frontend"] == "pallas-ct(bf16-handoff)(time-major)"
     f32_handoff = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
                                     use_pallas=True)
-    assert f32_handoff.paths["frontend"] == "pallas-ct"
+    assert f32_handoff.paths["frontend"] == "pallas-ct(time-major)"
 
     a = jnp.asarray(audio_batch)
     got = np.asarray(bf16(a))

@@ -210,8 +210,14 @@ def make_fused_cnn_classifier(
     batch_tile: int = 16,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    time_major: bool = False,
 ):
-    """Build the fused (B, H, W[, 1]) features -> (B, C) logits forward."""
+    """Build the fused (B, H, W[, 1]) features -> (B, C) logits forward.
+
+    time_major consumes (H, B, W) features (the fused frontend's
+    time_major output): the kernel's (H, TB, W) block is already the
+    frame-major layout run_stage wants, so the input sublane transpose
+    disappears."""
     if n_features is None or feature_size is None:
         from ..params import pr
 
@@ -283,8 +289,10 @@ def make_fused_cnn_classifier(
         out_ref = refs[-1]
         # batch-major (TB, H, W) -> frame-major (H, TB, W): the kernel's
         # one sublane transpose (upcast first — packed-bf16 sublane
-        # shuffles lower badly)
-        x3 = jnp.swapaxes(x_ref[:].astype(jnp.float32), 0, 1)
+        # shuffles lower badly).  time_major blocks arrive (H, TB, W).
+        x3 = x_ref[:].astype(jnp.float32)
+        if not time_major:
+            x3 = jnp.swapaxes(x3, 0, 1)
         mi = 0
         for st in stages:
             x3, mi = run_stage(st, x3, mats, mi)
@@ -332,26 +340,30 @@ def make_fused_cnn_classifier(
     def forward(x: jax.Array) -> jax.Array:
         if x.ndim == 4:
             x = x[..., 0]
-        batch = x.shape[0]
+        batch = x.shape[1] if time_major else x.shape[0]
         if batch % batch_tile != 0:
             raise ValueError(
                 f"batch {batch} not a multiple of batch_tile {batch_tile}"
             )
-        if x.shape[1:] != (n_features, feature_size):
+        expect = ((n_features, batch, feature_size) if time_major
+                  else (batch, n_features, feature_size))
+        if x.shape != expect:
             raise ValueError(
-                f"expected (B, {n_features}, {feature_size}) features, "
-                f"got {x.shape}"
+                f"expected {expect} features "
+                f"({'time' if time_major else 'batch'}-major), got {x.shape}"
             )
         grid = (batch // batch_tile,)
+        x_spec = (
+            pl.BlockSpec((n_features, batch_tile, feature_size),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            if time_major else
+            pl.BlockSpec((batch_tile, n_features, feature_size),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (batch_tile, n_features, feature_size),
-                    lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
-                )
-            ] + [
+            in_specs=[x_spec] + [
                 # n=… default arg: bind per-matrix rank now (a bare
                 # closure over the loop variable would see only the last)
                 pl.BlockSpec(m.shape,

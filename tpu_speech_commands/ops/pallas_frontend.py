@@ -227,11 +227,20 @@ def make_fused_frontend(
     fast_math: bool = False,
     dft_mode: str = "auto",
     out_dtype=jnp.float32,
+    time_major: bool = False,
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
     B must be a multiple of batch_tile.  Deltas (use_delta) are applied
     outside the kernel by the caller (frontend.dsp.add_deltas).
+
+    time_major emits (T, B, n_mfcc) instead — the kernel's internal
+    result is already frame-major, so this layout skips the per-tile
+    (T, TB, F) sublane transpose entirely (Mosaic lowers narrow-lane
+    transposes as per-sublane copies), and the Pallas classifier
+    kernels consume frame-major blocks with a plain reshape instead of
+    their own inverse transpose.  Use for Pallas->Pallas handoffs
+    (serving.make_batch_scorer wires it automatically).
 
     out_dtype: dtype of the emitted feature tensor.  The kernel computes
     in float32 regardless; bfloat16 output halves the inter-kernel HBM
@@ -262,8 +271,8 @@ def make_fused_frontend(
             )
         return _trim_to_contract(
             _make_ct_frontend(p, feature_type, batch_tile, interpret,
-                              fast_math, out_dtype),
-            p,
+                              fast_math, out_dtype, time_major),
+            p, time_major,
         )
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
     window, hop = p.window_samples, p.hop_samples
@@ -291,12 +300,8 @@ def make_fused_frontend(
         coeffs = jnp.dot(mels, dct_ref[:], preferred_element_type=jnp.float32)
         energy = safe_log(jnp.sum(power, -1, keepdims=True))
         out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
-        # (T*TB, F) frame-major -> (TB, T, F)
-        out_ref[:] = (
-            out.reshape(n_frames, batch_tile, n_mfcc)
-            .transpose(1, 0, 2)
-            .astype(out_dtype)
-        )
+        _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc,
+                       out_dtype, time_major)
 
     matrices = tuple(jnp.asarray(m) for m in (cos, sin, filt, dct_t))
 
@@ -328,11 +333,10 @@ def make_fused_frontend(
                 pl.BlockSpec(filt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(dct_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (batch_tile, n_frames, n_mfcc), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), out_dtype),
+            out_specs=_feature_out_spec(batch_tile, n_frames, n_mfcc,
+                                        time_major),
+            out_shape=_feature_out_shape(batch, n_frames, n_mfcc, out_dtype,
+                                         time_major),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize
@@ -342,10 +346,37 @@ def make_fused_frontend(
             interpret=interpret,
         )(gain, audio, *matrices)
 
-    return _trim_to_contract(frontend, p)
+    return _trim_to_contract(frontend, p, time_major)
 
 
-def _trim_to_contract(frontend, p: ListenerParams):
+def _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc, out_dtype,
+                   time_major):
+    """Write the kernel's frame-major (T*TB, F) result to the out block.
+
+    time_major keeps the rows as-is — (T, TB, F) is just a reshape;
+    batch-major pays one (T, TB, F) -> (TB, T, F) sublane transpose,
+    which Mosaic lowers as per-sublane copies on this 13-lane tensor."""
+    out3 = out.reshape(n_frames, batch_tile, n_mfcc)
+    if not time_major:
+        out3 = out3.transpose(1, 0, 2)
+    out_ref[:] = out3.astype(out_dtype)
+
+
+def _feature_out_spec(batch_tile, n_frames, n_mfcc, time_major):
+    if time_major:
+        return pl.BlockSpec((n_frames, batch_tile, n_mfcc),
+                            lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((batch_tile, n_frames, n_mfcc),
+                        lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _feature_out_shape(batch, n_frames, n_mfcc, out_dtype, time_major):
+    shape = ((n_frames, batch, n_mfcc) if time_major
+             else (batch, n_frames, n_mfcc))
+    return jax.ShapeDtypeStruct(shape, out_dtype)
+
+
+def _trim_to_contract(frontend, p: ListenerParams, time_major=False):
     """Keep the tail-aligned n_features frames (the model/streaming/native
     contract) when max_samples framing yields extra rows for this
     hop/window rounding — mirrors frontend.dsp.Frontend.__call__."""
@@ -364,7 +395,9 @@ def _trim_to_contract(frontend, p: ListenerParams):
         return frontend
 
     def trimmed(audio: jax.Array, gain=None) -> jax.Array:
-        return frontend(audio, gain)[:, -p.n_features :, :]
+        out = frontend(audio, gain)
+        return (out[-p.n_features :] if time_major
+                else out[:, -p.n_features :, :])
 
     return trimmed
 
@@ -398,7 +431,7 @@ def _gain_smem(gain) -> jax.Array:
 
 def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                       interpret: bool, fast_math: bool,
-                      out_dtype=jnp.float32):
+                      out_dtype=jnp.float32, time_major: bool = False):
     """Two-stage Cooley-Tukey GEMM-DFT variant of the fused frontend.
 
     Replaces the dense (W, bins) DFT matmul pair with:
@@ -511,11 +544,8 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         out = jnp.concatenate(
             [logs[:, n_filt : n_filt + 1], coeffs[:, 1:n_mfcc]], -1
         )
-        out_ref[:] = (
-            out.reshape(n_frames, batch_tile, n_mfcc)
-            .transpose(1, 0, 2)
-            .astype(out_dtype)
-        )
+        _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc,
+                       out_dtype, time_major)
 
     e2a_mat = jnp.asarray(e2a)
     e2b_mat = jnp.asarray(e2b)
@@ -562,11 +592,10 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                 pl.BlockSpec(dct_t.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (batch_tile, n_frames, n_mfcc), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((batch, n_frames, n_mfcc), out_dtype),
+            out_specs=_feature_out_spec(batch_tile, n_frames, n_mfcc,
+                                        time_major),
+            out_shape=_feature_out_shape(batch, n_frames, n_mfcc, out_dtype,
+                                         time_major),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize

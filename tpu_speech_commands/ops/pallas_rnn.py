@@ -67,11 +67,17 @@ def make_fused_rnn_classifier(
     batch_tile: int = 128,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    time_major: bool = False,
 ):
     """Build the fused (B, T, D) features -> (B, C) logits forward.
 
     cell_type: 'gru' | 'lstm'.  Stacked models (num_layers > 1) keep each
     layer's full output sequence in VMEM for the next layer.
+
+    time_major consumes (T, B, D) features (the fused frontend's
+    time_major output): the kernel's (T, TB, D) block IS frame-major, so
+    the batch-major path's sublane transpose disappears — a pure layout
+    win on the Pallas->Pallas handoff.
     """
     if cell_type not in ("gru", "lstm"):
         raise ValueError(f"cell_type must be gru|lstm, got {cell_type!r}")
@@ -124,11 +130,12 @@ def make_fused_rnn_classifier(
         mats = [r[:] for r in refs[:-1]]
         out_ref = refs[-1]
         # batch-major (TB, T, D) -> frame-major (T*TB, D); upcast BEFORE
-        # the sublane transpose — packed-bf16 sublane shuffles lower badly
-        x2 = (
-            jnp.swapaxes(x_ref[:].astype(jnp.float32), 0, 1)
-            .reshape(T * batch_tile, feature_size)
-        )
+        # the sublane transpose — packed-bf16 sublane shuffles lower badly.
+        # time_major blocks are already (T, TB, D): reshape only.
+        x32 = x_ref[:].astype(jnp.float32)
+        if not time_major:
+            x32 = jnp.swapaxes(x32, 0, 1)
+        x2 = x32.reshape(T * batch_tile, feature_size)
 
         # f32 operands on the MXU default to one bf16 pass; the 30-step
         # recurrence amplifies that to ~3e-3 on softmax scores.  HIGHEST
@@ -193,26 +200,30 @@ def make_fused_rnn_classifier(
     def forward(x: jax.Array) -> jax.Array:
         if x.ndim == 4:
             x = x[..., 0]
-        batch = x.shape[0]
+        batch = x.shape[1] if time_major else x.shape[0]
         if batch % batch_tile != 0:
             raise ValueError(
                 f"batch {batch} not a multiple of batch_tile {batch_tile}"
             )
-        if x.shape[1:] != (n_features, feature_size):
+        expect = ((n_features, batch, feature_size) if time_major
+                  else (batch, n_features, feature_size))
+        if x.shape != expect:
             raise ValueError(
-                f"expected (B, {n_features}, {feature_size}) features, "
-                f"got {x.shape}"
+                f"expected {expect} features "
+                f"({'time' if time_major else 'batch'}-major), got {x.shape}"
             )
         grid = (batch // batch_tile,)
+        x_spec = (
+            pl.BlockSpec((n_features, batch_tile, feature_size),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            if time_major else
+            pl.BlockSpec((batch_tile, n_features, feature_size),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (batch_tile, n_features, feature_size),
-                    lambda i: (i, 0, 0), memory_space=pltpu.VMEM,
-                )
-            ] + [
+            in_specs=[x_spec] + [
                 pl.BlockSpec(m.shape, (lambda i, n=m.ndim: (0,) * n),
                              memory_space=pltpu.VMEM)
                 for m in mat_arrays

@@ -34,7 +34,7 @@ from .models.factory import is_cnn
 from .ops.pallas_frontend import _ct_eligible
 
 
-def _lazy_tiled(build, default_tile: int):
+def _lazy_tiled(build, default_tile: int, batch_axis: int = 0):
     """Defer a kernel's batch-tile choice to trace time.
 
     Uses the preferred tile when it divides the batch, else
@@ -46,11 +46,14 @@ def _lazy_tiled(build, default_tile: int):
     trace (a new batch shape) leaks tracers.  jit already caches the
     whole scorer per input shape, so each distinct shape pays the
     host-side lowering exactly once.
+
+    batch_axis: where the batch dim lives on the input (1 for the
+    time-major (T, B, F) feature handoff).
     """
 
     def call(x, *args, **kw):
         # gcd == default_tile whenever the tile divides the batch
-        tile = math.gcd(x.shape[0], default_tile)
+        tile = math.gcd(x.shape[batch_axis], default_tile)
         return build(tile)(x, *args, **kw)
 
     return call
@@ -119,6 +122,18 @@ def make_batch_scorer(
     # classifier dispatch FIRST: the frontend's bf16 handoff below is
     # derived from the classifier path actually chosen, so the two can
     # never drift apart.
+    # time-major (T, B, F) handoff: when BOTH stages are Pallas kernels
+    # and no delta post-processing sits in between, the frontend emits
+    # its internally frame-major result without the (T, TB, F) sublane
+    # transpose and the classifier consumes it with a plain reshape —
+    # both narrow-lane transposes vanish (measured ~+1% on the GRU
+    # flagship and the CNN megakernel; ROADMAP.md).
+    classifier_is_pallas = use_pallas and (
+        is_cnn(model_type) or model_type == "simple_gru"
+    )
+    time_major = bool(
+        classifier_is_pallas and _ct_eligible(p) and not p.use_delta
+    )
     if use_pallas and is_cnn(model_type):
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
@@ -129,9 +144,10 @@ def make_batch_scorer(
                 variables, separable=(model_type == "simple_cnn_lite"),
                 n_features=p.n_features, feature_size=p.feature_size,
                 batch_tile=t, interpret=interpret,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, time_major=time_major,
             ),
             classifier_tile or 128,
+            batch_axis=1 if time_major else 0,
         )
         paths["classifier"] = "pallas-megakernel"
     elif use_pallas and model_type == "simple_gru":
@@ -148,8 +164,10 @@ def make_batch_scorer(
                 n_features=p.n_features, feature_size=p.feature_size,
                 batch_tile=t,
                 interpret=interpret, compute_dtype=compute_dtype,
+                time_major=time_major,
             ),
             classifier_tile or 128,
+            batch_axis=1 if time_major else 0,
         )
         paths["classifier"] = "pallas-rnn"
     else:
@@ -177,6 +195,7 @@ def make_batch_scorer(
             lambda t: make_fused_frontend(
                 p, feature_type=feature_type, batch_tile=t,
                 interpret=interpret, out_dtype=handoff_dtype,
+                time_major=time_major,
             ),
             batch_tile,
         )
@@ -189,9 +208,11 @@ def make_batch_scorer(
             paths["frontend"] = "pallas-ct+deltas"
         else:
             frontend = fused
-            paths["frontend"] = (
-                "pallas-ct" if handoff_dtype == jnp.float32
-                else "pallas-ct(bf16-handoff)"
+            paths["frontend"] = "pallas-ct" + "".join(
+                tag for cond, tag in (
+                    (handoff_dtype != jnp.float32, "(bf16-handoff)"),
+                    (time_major, "(time-major)"),
+                ) if cond
             )
     else:
         fe = Frontend(p, feature_type=feature_type)
