@@ -441,10 +441,11 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         radix-2 butterfly (22 vector ops), other sizes generic sums;
       stage 2 (MXU): only the physical half-spectrum, real+imag PACKED
         into one 128-lane matmul per residue: [Xr|Xi] = T_r@[Er|Ei]
-        ± T_i@[-Ei|Er] — 14 (M,128)@(128,128) matmuls at n2=8 vs the
-        dense path's ~2x(1024 @ 640): ~5.7x fewer MXU cycles.  The
-        Nyquist bin is real and comes from T[0] as an alternating-sign
-        row sum.
+        ± T_i@[-Ei|Er], and conjugate residues s / n2-s (which share the
+        same T rows) further pair on lanes into (M,128)@(128,256)
+        matmuls — 8 matmul issues at n2=8 vs the dense path's
+        ~2x(1024 @ 640): ~5.7x fewer MXU cycles.  The Nyquist bin is
+        real and comes from T[0] as an alternating-sign row sum.
 
     The half-spectrum bins land permuted (piece s, column j <-> physical
     bin k = n2*j + s); the permutation is absorbed into the filterbank
@@ -457,6 +458,28 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
     )
     n2 = p.n_fft // LANES
     half = n2 // 2
+
+    # conjugate-residue pairing: s and n2-s share T rows (T[n2-s] =
+    # conj(T[s])), so their packed E matrices concatenate on lanes and
+    # each pair costs ONE (M,128)@(128,256) matmul per T component
+    # instead of two 128-wide ones — same flops, ~half the MXU issues
+    # (bit-exact; measured neutral-to-+1% across sessions — kept for
+    # the fewer issues, tools/dev/r3_stage2.py).  Groups:
+    # (residue sr, a-columns, b-columns or None, residues covered);
+    # all a/b blocks ride in two lane-packed operands with static
+    # column offsets.
+    groups = [(0, e2a[0], None, [0]), (half, e2a[half], None, [half])]
+    for s in range(1, half):
+        groups.append((
+            s,
+            np.concatenate([e2a[s], e2a[n2 - s]], axis=1),
+            np.concatenate([e2b[s], -e2b[n2 - s]], axis=1),
+            [s, n2 - s],
+        ))
+    ea_pack = np.concatenate([g[1] for g in groups], axis=1)
+    eb_blocks = [g[2] for g in groups if g[2] is not None]
+    eb_pack = (np.concatenate(eb_blocks, axis=1) if eb_blocks
+               else np.zeros((LANES, LANES), np.float32))
     window, hop = p.window_samples, p.hop_samples
     n_samples = p.max_samples
     n_frames = 1 + (n_samples - window) // hop
@@ -515,19 +538,22 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
             return jnp.dot(x, e.astype(dft_dtype),
                            preferred_element_type=jnp.float32)
 
-        pieces = []
-        for s in range(n2):
-            sr = s if s <= half else n2 - s
-            tr = t_re[sr]
-            if sr in (0, half):  # purely real T row
-                xri = mm(tr, ea_ref[s])
-            elif s <= half:
-                xri = mm(tr, ea_ref[s]) + mm(t_im[sr], eb_ref[s])
-            else:  # T[s] = conj(T[sr])
-                xri = mm(tr, ea_ref[s]) - mm(t_im[sr], eb_ref[s])
+        piece_by_s = {}
+        a_off = b_off = 0
+        for sr, a_mat, b_mat, residues in groups:
+            w = a_mat.shape[1]
+            xri = mm(t_re[sr], ea_ref[:, a_off:a_off + w])
+            a_off += w
+            if b_mat is not None:  # pair: [Xr_s|Xi_s|Xr_{n2-s}|Xi_{n2-s}]
+                xri = xri + mm(t_im[sr], eb_ref[:, b_off:b_off + w])
+                b_off += w
             sq = xri * xri
-            pieces.append(sq[:, :CT_J] + sq[:, CT_J:])  # |X|^2, (M, 64)
-        power = jnp.concatenate(pieces, axis=-1)  # (M, n_fft/2)
+            for gi, s in enumerate(residues):
+                part = sq[:, gi * LANES:(gi + 1) * LANES]
+                piece_by_s[s] = part[:, :CT_J] + part[:, CT_J:]  # |X|^2
+        power = jnp.concatenate(
+            [piece_by_s[s] for s in range(n2)], axis=-1
+        )  # (M, n_fft/2) in residue order, matching filt_half's rows
 
         # Nyquist bin: X[n_fft/2] = sum_b (-1)^b T[0, b]  (real)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -547,8 +573,8 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc,
                        out_dtype, time_major)
 
-    e2a_mat = jnp.asarray(e2a)
-    e2b_mat = jnp.asarray(e2b)
+    e2a_mat = jnp.asarray(ea_pack)
+    e2b_mat = jnp.asarray(eb_pack)
     filt_mat = jnp.asarray(filt_half)
     fnyq_mat = jnp.asarray(filt_nyq)
     dct_mat = jnp.asarray(dct_t)
@@ -581,9 +607,9 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                     (batch_tile, n_samples), lambda i: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(e2a.shape, lambda i: (0, 0, 0),
+                pl.BlockSpec(ea_pack.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(e2b.shape, lambda i: (0, 0, 0),
+                pl.BlockSpec(eb_pack.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(filt_half.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
