@@ -498,41 +498,76 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         audio = _decode_audio(audio_ref, gain_ref)  # (TB, S)
         # plane a = lane slice [128a, 128a+128) of every frame, frame-major
         # rows (M = T*TB) — 128-aligned static slices, never a transpose
-        if overlap:
-            cells = [
-                jnp.concatenate(
-                    [
-                        audio[:, t * hop + c * LANES : t * hop + (c + 1) * LANES]
-                        for t in range(n_frames + 1)
-                    ]
-                ).astype(dft_dtype)
-                for c in range(half)
-            ]  # ((T+1)*TB, 128) each
+        if overlap and n2 == 8:
+            # wide-cell framing + lane-packed butterfly: the four within-hop
+            # segments are CONTIGUOUS in lanes, so ONE (…, 4*128) cell
+            # stream covers them (31 slice-concats instead of 124) and the
+            # butterfly's first two radix stages run lane-packed (one wide
+            # op instead of four narrow).  Association order is identical
+            # to _dft8_real → bit-exact (tools/dev/r3_widecell.py, +0.5%).
+            wide = jnp.concatenate(
+                [audio[:, t * hop : t * hop + half * LANES]
+                 for t in range(n_frames + 1)]
+            ).astype(dft_dtype)  # ((T+1)*TB, 512) = [x0|x1|x2|x3] per frame
             m_rows_ = n_frames * batch_tile
-            planes = [cells[a][:m_rows_] for a in range(half)] + [
-                cells[a][batch_tile : m_rows_ + batch_tile] for a in range(half)
-            ]
-        else:
-            planes = [
-                jnp.concatenate(
-                    [
-                        audio[:, t * hop + a * LANES : t * hop + (a + 1) * LANES]
-                        for t in range(n_frames)
-                    ]
-                ).astype(dft_dtype)
-                for a in range(n2)
-            ]
-        if n2 == 8:
-            t_re, t_im = _dft8_real(planes, dft_dtype)
-        else:
+            p_blk = wide[:m_rows_]                          # [x0|x1|x2|x3]
+            q_blk = wide[batch_tile : m_rows_ + batch_tile]  # [x4..x7]
+            a_w = p_blk + q_blk   # [ev_a|od_a|ev_b|od_b]
+            s_w = p_blk - q_blk   # [ev_s|od_s|ev_t|od_t]
+            b1 = a_w[:, : 2 * LANES] + a_w[:, 2 * LANES :]  # [ev0|od0]
+            b2 = a_w[:, : 2 * LANES] - a_w[:, 2 * LANES :]  # [ev2|od2]
+            ev_s = s_w[:, :LANES]
+            od_s = s_w[:, LANES : 2 * LANES]
+            ev_t = s_w[:, 2 * LANES : 3 * LANES]
+            od_t = s_w[:, 3 * LANES :]
+            kappa = dft_dtype(np.sqrt(0.5))
+            u = (od_s - od_t) * kappa
+            v = (od_s + od_t) * kappa
             t_re = {
-                s: _coef_sum(planes, ct_cos[s], dft_dtype)
-                for s in range(half + 1)
+                0: b1[:, :LANES] + b1[:, LANES:],
+                1: ev_s + u,
+                2: b2[:, :LANES],
+                3: ev_s - u,
+                4: b1[:, :LANES] - b1[:, LANES:],
             }
-            t_im = {
-                s: _coef_sum(planes, ct_sin[s], dft_dtype)
-                for s in range(1, half)
-            }
+            t_im = {1: -ev_t - v, 2: -b2[:, LANES:], 3: ev_t - v}
+        else:
+            if overlap:
+                cells = [
+                    jnp.concatenate(
+                        [
+                            audio[:, t * hop + c * LANES : t * hop + (c + 1) * LANES]
+                            for t in range(n_frames + 1)
+                        ]
+                    ).astype(dft_dtype)
+                    for c in range(half)
+                ]  # ((T+1)*TB, 128) each
+                m_rows_ = n_frames * batch_tile
+                planes = [cells[a][:m_rows_] for a in range(half)] + [
+                    cells[a][batch_tile : m_rows_ + batch_tile]
+                    for a in range(half)
+                ]
+            else:
+                planes = [
+                    jnp.concatenate(
+                        [
+                            audio[:, t * hop + a * LANES : t * hop + (a + 1) * LANES]
+                            for t in range(n_frames)
+                        ]
+                    ).astype(dft_dtype)
+                    for a in range(n2)
+                ]
+            if n2 == 8:
+                t_re, t_im = _dft8_real(planes, dft_dtype)
+            else:
+                t_re = {
+                    s: _coef_sum(planes, ct_cos[s], dft_dtype)
+                    for s in range(half + 1)
+                }
+                t_im = {
+                    s: _coef_sum(planes, ct_sin[s], dft_dtype)
+                    for s in range(1, half)
+                }
 
         def mm(x, e):
             return jnp.dot(x, e.astype(dft_dtype),
