@@ -234,8 +234,13 @@ static void dw_row_tap_i8(const int8_t* __restrict__ in_row,
 // 1e-4 score-parity tolerances.  Every op (rint, int convert, exponent
 // bit assembly) vectorizes, unlike libm exp calls under strict FP.
 static inline float fast_expf(float v) {
-  v = v < -87.0f ? -87.0f : (v > 88.0f ? 88.0f : v);
-  const float z = v * 1.4426950408889634f;  // log2(e)
+  // NaN must propagate (a corrupt blob / inf-inf gate accumulation would
+  // otherwise turn into a plausible finite score via the UB int convert
+  // below); select-based like every other op here, so it still vectorizes.
+  const bool keep = v == v;
+  float vc = v < -87.0f ? -87.0f : (v > 88.0f ? 88.0f : v);
+  vc = keep ? vc : 0.0f;
+  const float z = vc * 1.4426950408889634f;  // log2(e)
   const float zr = std::rint(z);
   const float f = z - zr;  // [-0.5, 0.5]
   // exp(f*ln2), Horner; c_k = ln2^k / k!
@@ -251,7 +256,7 @@ static inline float fast_expf(float v) {
     float f32;
   } s;
   s.u = static_cast<uint32_t>(static_cast<int>(zr) + 127) << 23;
-  return p * s.f32;
+  return keep ? p * s.f32 : v;
 }
 
 TSC_SIMD_CLONES

@@ -10,6 +10,7 @@
 // a message on the first mismatch.  Run by tests/test_native.py.
 #include <cmath>
 #include <cstdio>
+#include <limits>
 #include <random>
 #include <vector>
 
@@ -308,7 +309,24 @@ static int check_activations() {
                  max_sig, max_tanh);
     return -1;
   }
-  return 2 * n;
+  // NaN must PROPAGATE through the fast-exp path (not collapse to a
+  // plausible finite score via an undefined int convert)
+  float bad[2] = {std::numeric_limits<float>::quiet_NaN(), 0.0f};
+  tsc::ops::sigmoid_inplace(bad, 2);
+  if (bad[0] == bad[0] || std::fabs(bad[1] - 0.5f) > 1e-6f) {
+    std::fprintf(stderr, "sigmoid NaN propagation broken: %g %g\n",
+                 bad[0], bad[1]);
+    return -1;
+  }
+  bad[0] = std::numeric_limits<float>::quiet_NaN();
+  bad[1] = 0.0f;
+  tsc::ops::tanh_inplace(bad, 2);
+  if (bad[0] == bad[0] || std::fabs(bad[1]) > 1e-6f) {
+    std::fprintf(stderr, "tanh NaN propagation broken: %g %g\n",
+                 bad[0], bad[1]);
+    return -1;
+  }
+  return 2 * n + 4;
 }
 
 int main() {

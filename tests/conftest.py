@@ -37,24 +37,13 @@ def native_lib() -> str:
     order (test_cli sorts before test_native)."""
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    lib = os.path.join(repo, "native", "build", "libtsc.so")
-    if os.path.exists(lib):
-        return lib
+    from tpu_speech_commands.utils.native_build import ensure_native_build
+
     try:
-        subprocess.run(
-            ["cmake", "-B", "build", "-G", "Ninja", "."],
-            cwd=os.path.join(repo, "native"), check=True,
-            capture_output=True,
-        )
-        subprocess.run(
-            ["ninja", "-C", "build"],
-            cwd=os.path.join(repo, "native"), check=True,
-            capture_output=True,
-        )
+        build = ensure_native_build("libtsc.so")
     except (OSError, subprocess.CalledProcessError) as e:
         pytest.skip(f"native runtime not built and build failed: {e}")
-    return lib
+    return os.path.join(build, "libtsc.so")
 
 
 @pytest.fixture(autouse=True)

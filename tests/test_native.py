@@ -16,15 +16,9 @@ LIB = os.path.join(REPO, "native", "build", "libtsc.so")
 
 @pytest.fixture(scope="module", autouse=True)
 def build_native():
-    if not os.path.exists(LIB):
-        subprocess.run(
-            ["cmake", "-B", "build", "-G", "Ninja", "."],
-            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
-        )
-        subprocess.run(
-            ["ninja", "-C", "build"],
-            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
-        )
+    from tpu_speech_commands.utils.native_build import ensure_native_build
+
+    ensure_native_build("libtsc.so")
 
 
 @pytest.fixture(scope="module")
@@ -44,16 +38,9 @@ def test_conv_kernel_oracle_fuzz():
     (BIT-EXACT — the oracle shares quantize_acts and the scaling
     expression) conv2d_same and depthwise_same over H/W 1..15, channel
     mixes, k 1/3, stride 1/2, bias on/off, at 1 AND 3 pool threads."""
-    binary = os.path.join(REPO, "native", "build", "test_ops")
-    if not os.path.exists(binary):
-        subprocess.run(
-            ["cmake", "-B", "build", "-G", "Ninja", "."],
-            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
-        )
-        subprocess.run(
-            ["ninja", "-C", "build", "test_ops"],
-            cwd=os.path.join(REPO, "native"), check=True, capture_output=True,
-        )
+    from tpu_speech_commands.utils.native_build import ensure_native_build
+
+    binary = os.path.join(ensure_native_build("test_ops"), "test_ops")
     out = subprocess.run([binary], capture_output=True, text=True,
                          check=True).stdout
     assert "cases OK" in out

@@ -31,16 +31,12 @@ REF_INVOKE = {"simple_cnn": 0.575, "simple_cnn_lite": 0.575,
 
 
 def ensure_build():
-    app = os.path.join(BUILD, "speech_commands")
-    if not (os.path.exists(app)
-            and os.path.exists(os.path.join(BUILD, "speech_commands_stream"))):
-        subprocess.run(["cmake", "-B", "build", "-G", "Ninja", "."],
-                       cwd=os.path.join(REPO, "native"), check=True,
-                       capture_output=True)
-        subprocess.run(["ninja", "-C", "build"],
-                       cwd=os.path.join(REPO, "native"), check=True,
-                       capture_output=True)
-    return app
+    from tpu_speech_commands.utils.native_build import ensure_native_build
+
+    return os.path.join(
+        ensure_native_build("speech_commands", "speech_commands_stream"),
+        "speech_commands",
+    )
 
 
 def invoke_ms(app, model, wav, loop_count, runs, threads):
@@ -83,8 +79,10 @@ def main():
         for fam in FAMILIES:
             ckpt = os.path.join(REPO, "pretrained", f"direction_{fam}.npz")
             blob = os.path.join(REPO, "pretrained", f"direction_{fam}.tscm")
-            if not os.path.exists(blob):
-                print(f"skip {fam}: no pretrained blob", file=sys.stderr)
+            # the int8 export below reads the .npz checkpoint too
+            if not (os.path.exists(blob) and os.path.exists(ckpt)):
+                print(f"skip {fam}: missing pretrained blob/checkpoint",
+                      file=sys.stderr)
                 continue
             qblob = os.path.join(td, f"{fam}_q.tscm")
             from tpu_speech_commands.export.native_format import export_native

@@ -128,13 +128,19 @@ def make_batch_scorer(
     # transpose and the classifier consumes it with a plain reshape —
     # both narrow-lane transposes vanish (measured ~+1% on the GRU
     # flagship and the CNN megakernel; ROADMAP.md).
-    classifier_is_pallas = use_pallas and (
-        is_cnn(model_type) or model_type == "simple_gru"
-    )
-    time_major = bool(
-        classifier_is_pallas and _ct_eligible(p) and not p.use_delta
-    )
+    # decide the dispatch ONCE, then branch on the decision — time_major
+    # is derived from the same value the branches switch on, so an edit
+    # to the dispatch can't leave it pointing at a different classifier.
     if use_pallas and is_cnn(model_type):
+        classifier_kind = "pallas-megakernel"
+    elif use_pallas and model_type == "simple_gru":
+        classifier_kind = "pallas-rnn"
+    else:
+        classifier_kind = "xla"
+    time_major = bool(
+        classifier_kind != "xla" and _ct_eligible(p) and not p.use_delta
+    )
+    if classifier_kind == "pallas-megakernel":
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
         # pr.feature_size already includes the use_delta doubling; the
@@ -149,8 +155,8 @@ def make_batch_scorer(
             classifier_tile or 128,
             batch_axis=1 if time_major else 0,
         )
-        paths["classifier"] = "pallas-megakernel"
-    elif use_pallas and model_type == "simple_gru":
+        paths["classifier"] = classifier_kind
+    elif classifier_kind == "pallas-rnn":
         # simple_lstm deliberately stays on the XLA scan: measured at
         # batch 8192 the 4-gate kernel runs 4.00M windows/s (4.11M with
         # a lane-packed recurrence) vs 4.23M for XLA — the extra serial
@@ -169,13 +175,13 @@ def make_batch_scorer(
             classifier_tile or 128,
             batch_axis=1 if time_major else 0,
         )
-        paths["classifier"] = "pallas-rnn"
+        paths["classifier"] = classifier_kind
     else:
         def classifier(feats):
             x = features_to_input(feats, model_type)
             return model.apply(variables, x, train=False)
 
-        paths["classifier"] = "xla"
+        paths["classifier"] = classifier_kind
     # bf16 feature handoff between the two kernels: halves the feature
     # tensor's HBM round trip, and loses nothing — a bf16 Pallas
     # classifier rounds its matmul inputs to bf16 anyway (scores are
