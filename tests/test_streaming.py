@@ -340,6 +340,12 @@ def test_listener_wav_replay(tmp_path, capsys):
     # (the reference scores the ragged wav tail too, listen.py:403)
     assert out.count("\n") == -(-len(audio) // 1024)
 
+    # each run_wav is an independent session: a repeat replay must print
+    # the identical bar sequence, not score its opening chunks against the
+    # previous run's ring-buffer tail / carried trigger counter
+    listener.run_wav()
+    assert capsys.readouterr().out == out
+
 
 def test_listener_int16_chunk_matches_bytes(tmp_path):
     """process_chunk must decode int16 ndarrays like bytes input (/32768)

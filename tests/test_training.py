@@ -249,6 +249,37 @@ def test_eval_chunked_staging_matches_single_dispatch(tmp_path, monkeypatch):
     np.testing.assert_array_equal(conf1, conf2)
 
 
+def test_nan_termination_preserves_final_checkpoint(tmp_path, capsys):
+    """A NaN-terminated fit must NOT write trained_final.npz: the NaN
+    weights would silently clobber a usable final checkpoint in the same
+    log_dir (they load without complaint and score garbage)."""
+    train_ds = toy_dataset(seed=0)
+    val_ds = toy_dataset(n_per_class=8, seed=1)
+    log_dir = tmp_path / "logs"
+    # an infinite LR drives the params (and every later loss) to NaN
+    tx = get_optimizer("adam", float("inf"), decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=16, epochs=4, log_dir=str(log_dir),
+                        log_tensorboard=False, seed=11)
+    trainer = Trainer(model, state, "simple_cnn_lite", len(CLASSES), cfg)
+    trainer.fit(train_ds, val_ds, verbose=False)
+    out = capsys.readouterr().out
+    assert "NaN loss encountered" in out
+    assert not (log_dir / "trained_final.npz").exists()
+
+
+def test_unknown_average_type_raises():
+    """A typo'd average_type must raise, not silently train unaveraged."""
+    tx = get_optimizer("adam", 1e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="average_type"):
+        Trainer(model, state, "simple_cnn_lite", len(CLASSES),
+                TrainerConfig(batch_size=16, epochs=1, log_tensorboard=False),
+                average_type="moving_average")
+
+
 def test_fit_is_deterministic_for_fixed_seed(tmp_path):
     """Two fits with identical seeds/data produce identical histories and
     final params (device-side shuffle + dropout are PRNG-keyed)."""

@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--trigger_level", type=int, default=3)
     parser.add_argument("--params_path", default=None)
     args = parser.parse_args()
+    if args.slots < 1:
+        parser.error("--slots must be >= 1 (0 slots can never admit a "
+                     "stream, so the serve loop would spin forever)")
 
     from tpu_speech_commands.utils.compilation_cache import (
         enable_compilation_cache,
@@ -88,7 +91,36 @@ def main():
         predict, model_format, class_names=classes
     )
     frontend = Frontend(pr, feature_type=feature_type)
-    update = jax.jit(make_stream_update(frontend, args.chunk_size))
+    update = make_stream_update(frontend, args.chunk_size)
+    # native checkpoints fuse ring-update + model forward into ONE jitted
+    # dispatch per tick with donated stream state (same shape as
+    # Listener._setup_stream) — on the tunneled TPU each dispatch is
+    # ~32 ms RTT-bound, so an unfused update+predict pair plus the
+    # device->host->device feature round trip could not hold the 64 ms
+    # chunk cadence.  External formats (ONNX/TFLite) execute on the host,
+    # so the feature pull is inherent there.
+    if model_format == "NATIVE":
+        from tpu_speech_commands.models import features_to_input, score_fn
+
+        model, variables = predict.model, predict.variables
+        model_type = predict.model_type
+
+        def _fused(states, chunks):
+            states, feats = update(states, chunks)
+            x = features_to_input(feats, model_type)
+            return states, score_fn(model.apply(variables, x, train=False))
+
+        _step = jax.jit(_fused, donate_argnums=(0,))
+
+        def tick_scores(states, chunks):
+            states, scores = _step(states, jnp.asarray(chunks))
+            return states, np.asarray(scores)
+    else:
+        _update = jax.jit(update, donate_argnums=(0,))
+
+        def tick_scores(states, chunks):
+            states, feats = _update(states, jnp.asarray(chunks))
+            return states, np.asarray(predict(np.asarray(feats)))
 
     n_slots = args.slots
     states = init_stream_state(pr, n_streams=n_slots)
@@ -142,9 +174,8 @@ def main():
             slot_pos[i] += args.chunk_size
             active.append(i)
 
-        states, feats = update(states, jnp.asarray(chunks))
+        states, scores = tick_scores(states, chunks)
         if active:
-            scores = np.asarray(predict(np.asarray(feats)))
             idx = scores.argmax(axis=1)
             conf = scores[np.arange(n_slots), idx].astype(np.float64)
             non_bg = idx != 0

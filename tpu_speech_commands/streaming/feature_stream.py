@@ -72,9 +72,12 @@ def reset_streams(state, mask):
     Requires batched state (init_stream_state(n_streams=...)).
     """
     mask = jnp.asarray(mask, bool)
-    assert state["fill"].ndim == 1 and mask.ndim == 1, (
-        "reset_streams needs a batched stream state (per-stream fill)"
-    )
+    # ValueError, not assert: under python -O a scalar state would be
+    # silently broadcast to (n, ...) shapes and corrupt the stream
+    if state["fill"].ndim != 1 or mask.ndim != 1:
+        raise ValueError(
+            "reset_streams needs a batched stream state (per-stream fill)"
+        )
     return {
         "audio": jnp.where(mask[:, None], 0.0, state["audio"]),
         "fill": jnp.where(mask, 0, state["fill"]),

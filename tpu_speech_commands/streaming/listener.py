@@ -226,10 +226,22 @@ class Listener:
 
     # -- run loops -----------------------------------------------------------
 
+    def reset_stream(self):
+        """Fresh stream + trigger state for a new session: without this, a
+        second run_wav (or run_wav after mic use) would score its opening
+        chunks against the previous session's ring-buffer tail and inherit
+        its activation counter (the reference gets a fresh state for free
+        by running one process per listen.py invocation)."""
+        self.state = init_stream_state(self.pr)
+        self.detector.reset()
+
     def run_wav(self, wav_path: str | None = None, realtime: bool = False):
-        """Replay a wav through the streaming loop (listen.py:384-436)."""
+        """Replay a wav through the streaming loop (listen.py:384-436).
+
+        Each call is an independent session (see reset_stream)."""
         import time
 
+        self.reset_stream()
         wav_path = wav_path or self.input_wav
         with wave.open(wav_path, "rb") as wf:
             # real exceptions, not asserts: wrong-format wavs must be

@@ -33,13 +33,21 @@ class AveragerState:
     count: jnp.ndarray  # number of snapshots folded in (swa) / steps (ema)
 
 
+AVERAGE_TYPES = ("ema", "swa", "lookahead")
+
+
 class WeightAverager:
     def __init__(self, average_type: str, params,
                  ema_decay: float = 0.99,
                  swa_start: int = 0, swa_period: int = 10,
                  sync_period: int = 6, slow_step_size: float = 0.5):
         self.average_type = average_type.lower()
-        assert self.average_type in ("ema", "swa", "lookahead")
+        # ValueError, not assert: must reject user input under python -O
+        if self.average_type not in AVERAGE_TYPES:
+            raise ValueError(
+                f"unknown average_type {average_type!r}; "
+                f"expected one of {AVERAGE_TYPES}"
+            )
         self.ema_decay = ema_decay
         self.swa_start = swa_start
         self.swa_period = swa_period

@@ -193,7 +193,10 @@ class Trainer:
         # training/averaging.WeightAverager (model_utils.py:61-100
         # equivalent); the optimizer chain is untouched
         self.averager = None
-        if average_type and average_type.lower() in ("ema", "swa", "lookahead"):
+        if average_type:
+            # WeightAverager validates the type and raises on a typo —
+            # a membership test here would silently drop the user's
+            # averaging request instead
             from .averaging import WeightAverager
 
             self.averager = WeightAverager(average_type, self.state.params)
@@ -338,7 +341,11 @@ class Trainer:
     scan_staging_limit_bytes: int = 2 << 30
 
     def _use_scan(self, ds: Dataset) -> bool:
-        return ds.x.nbytes + ds.y.nbytes <= self.scan_staging_limit_bytes
+        # gate on what _stage_dataset actually places on device (float32
+        # x + int32 y + float32 mask), not the host dtype — int16 raw
+        # audio would otherwise pass the cap at half its staged footprint
+        staged = ds.x.size * 4 + len(ds) * 8
+        return staged <= self.scan_staging_limit_bytes
 
     def _stage_dataset(self, ds: Dataset):
         """Pad ds to a batch multiple and place it on device ONCE (cached);
@@ -351,6 +358,10 @@ class Trainer:
         key = id(ds)
         cached = self._device_datasets.get(key)
         if cached is not None and cached[0] is ds.x and cached[1] is ds.y:
+            # LRU refresh: the eviction below drops the OLDEST entry, and
+            # without move-on-hit a fit rotating >4 datasets would evict
+            # and restage the training set itself every epoch
+            self._device_datasets[key] = self._device_datasets.pop(key)
             return cached[2]
         b = self.config.batch_size
         n = len(ds)
@@ -508,6 +519,7 @@ class Trainer:
         best_val_acc = -np.inf
         epochs_since_best = 0
         plateau_wait = 0
+        nan_terminated = False
 
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
@@ -536,6 +548,7 @@ class Trainer:
             # TerminateOnNaN (train.py:41)
             if not np.isfinite(em.loss):
                 print("NaN loss encountered — terminating training.")
+                nan_terminated = True
                 break
 
             # best checkpoint + keep-5 cleanup (train.py:31-37, callbacks.py:9-21)
@@ -562,7 +575,14 @@ class Trainer:
                     print(f"Early stopping at epoch {epoch}.")
                 break
 
-        ckpt.save_final(self._eval_state())
+        if nan_terminated:
+            # the final weights are NaN — writing them would clobber a
+            # usable trained_final.npz from an earlier run in this log_dir
+            # with garbage that loads without complaint
+            print("Not writing trained_final.npz (NaN weights); use the "
+                  "last best checkpoint (ep*.npz) instead.")
+        else:
+            ckpt.save_final(self._eval_state())
         logger.close()
         return self.history
 
