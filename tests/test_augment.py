@@ -37,6 +37,21 @@ def test_augment_shapes_and_determinism(rng):
     assert not np.allclose(np.asarray(a1), np.asarray(a3))
 
 
+def test_empty_noise_bank(rng):
+    """An empty noise bank skips the mix stage in augment_batch (static
+    shape, trace-time branch) and raises actionably at pipeline build —
+    the bare gather from (0, S) used to fail deep inside the jitted step."""
+    import pytest
+
+    audio = _batch(rng)
+    empty = jnp.zeros((0, 16000), jnp.float32)
+    out = augment_batch(jax.random.PRNGKey(0), audio, empty)
+    assert out.shape == audio.shape
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="background"):
+        make_audio_pipeline(Frontend(), "simple_cnn", empty)
+
+
 def test_augment_bounded(rng):
     audio = _batch(rng)
     noise = _noise(rng)

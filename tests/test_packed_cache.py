@@ -28,6 +28,38 @@ def test_pack_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.sort(packed.y), np.sort(base.y))
 
 
+def test_packed_cache_stale_after_data_change(tmp_path):
+    """Deleting features/ (the force-re-extract gesture) and adding wavs
+    must invalidate the pack — it used to short-circuit everything."""
+    import shutil
+    import time
+
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=3)
+    get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)
+    pack_cache(root, CLASSES)
+    time.sleep(0.05)  # ensure the change mtimes exceed the pack's
+    snd = os.path.join(root, "sounds", "left")
+    src = sorted(os.listdir(snd))[0]
+    shutil.copy(os.path.join(snd, src), os.path.join(snd, "zz_new.wav"))
+    shutil.rmtree(os.path.join(root, "features"))
+    ds = get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)
+    assert len(ds) == 10  # re-extracted: the new wav is included
+
+
+def test_empty_class_survives_cached_reload(tmp_path):
+    """A class dir with zero wavs is skipped at build time; the cached
+    reload must skip it too (it used to raise on every run after the
+    first, because nothing was cached for the empty class)."""
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=3)
+    os.makedirs(os.path.join(root, "sounds", "stop"))
+    classes = CLASSES + ["stop"]
+    first = get_dataset(root, classes, frontend=Frontend(), use_cache=True)
+    again = get_dataset(root, classes, frontend=Frontend(), use_cache=True)
+    assert len(first) == len(again) == 9
+
+
 def test_packed_cache_invalidated_by_class_change(tmp_path):
     root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES, samples_per_class=3)
     get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)

@@ -59,21 +59,26 @@ def augment_batch(
         idx = jnp.clip(idx, 0, n_samples - 1)
         out = jnp.take_along_axis(out, idx, axis=1) * valid
 
-    # random noise clip at random SNR for a random subset
+    # random noise clip at random SNR for a random subset; with an empty
+    # bank the stage is skipped (shape is static, so this is a trace-time
+    # branch) — randint(0, 0) + a gather from (0, S) would otherwise fail
+    # deep inside the jitted step with an unactionable error
     n_noise = noise_bank.shape[0]
-    pick = jax.random.randint(k_pick, (batch,), 0, n_noise)
-    noise = noise_bank[pick]
-    snr_db = jax.random.uniform(
-        k_snr, (batch, 1), minval=config.snr_db_min, maxval=config.snr_db_max
-    )
-    p_sig = jnp.mean(out**2, axis=1, keepdims=True)
-    p_noise = jnp.mean(noise**2, axis=1, keepdims=True) + 1e-12
-    scale = jnp.sqrt(p_sig / (10.0 ** (snr_db / 10.0)) / p_noise)
-    mixed = out + scale * noise
-    use_noise = (
-        jax.random.uniform(k_apply, (batch, 1)) < config.noise_prob
-    )
-    out = jnp.where(use_noise, mixed, out)
+    if n_noise > 0:
+        pick = jax.random.randint(k_pick, (batch,), 0, n_noise)
+        noise = noise_bank[pick]
+        snr_db = jax.random.uniform(
+            k_snr, (batch, 1), minval=config.snr_db_min,
+            maxval=config.snr_db_max
+        )
+        p_sig = jnp.mean(out**2, axis=1, keepdims=True)
+        p_noise = jnp.mean(noise**2, axis=1, keepdims=True) + 1e-12
+        scale = jnp.sqrt(p_sig / (10.0 ** (snr_db / 10.0)) / p_noise)
+        mixed = out + scale * noise
+        use_noise = (
+            jax.random.uniform(k_apply, (batch, 1)) < config.noise_prob
+        )
+        out = jnp.where(use_noise, mixed, out)
 
     return jnp.clip(out, -1.0, 1.0)
 
@@ -89,6 +94,12 @@ def make_audio_pipeline(
     from ..models import features_to_input
 
     noise_bank = jnp.asarray(noise_bank, jnp.float32)
+    if config.noise_prob > 0 and noise_bank.shape[0] == 0:
+        raise ValueError(
+            "augmentation noise bank is empty — the dataset has no "
+            "'background' clips to mix in; add background wavs or set "
+            "noise_prob=0"
+        )
 
     def pipeline(key, audio, train: bool):
         if train:

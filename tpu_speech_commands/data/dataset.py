@@ -207,6 +207,20 @@ def _load_packed(dataset_path: str, class_names: list[str]):
     path = os.path.join(dataset_path, PACKED_CACHE)
     if not os.path.exists(path):
         return None
+    # staleness check: the pack snapshots the per-sample cache / sounds
+    # tree.  Adding or removing wavs/.npy files bumps the class dir's
+    # mtime, and deleting features/ (the force-re-extract gesture) bumps
+    # the dataset root's — in either case fall back to the live tree
+    # instead of silently serving outdated features
+    pack_t = os.path.getmtime(path)
+    feature_root = os.path.join(dataset_path, "features")
+    sound_root = os.path.join(dataset_path, "sounds")
+    dirs = [dataset_path, feature_root, sound_root]
+    for root in (feature_root, sound_root):
+        for c in class_names:
+            dirs += [os.path.join(root, c), os.path.join(root, c.lower())]
+    if any(os.path.isdir(d) and os.path.getmtime(d) > pack_t for d in dirs):
+        return None
     # one zip read (npz members are decompressed into memory; mmap does
     # not apply to archives)
     data = np.load(path)
@@ -245,6 +259,15 @@ def get_dataset(
             if feats is None:
                 feats = _load_cached_class(os.path.join(feature_root, class_name))
             if feats is None:
+                sound_dir = os.path.join(dataset_path, "sounds", class_name)
+                if os.path.isdir(sound_dir) and not glob(
+                    os.path.join(sound_dir, "*.wav")
+                ):
+                    # mirror the extraction branch: a class with zero
+                    # source wavs is skipped at build time (nothing is
+                    # cached for it), so a cached reload must skip it
+                    # too instead of failing every run after the first
+                    continue
                 raise ValueError(f"no cached features for class {class_name}")
             xs.append(np.squeeze(feats, axis=-1) if feats.ndim == 4 else feats)
             ys.append(np.full(len(feats), idx, np.int32))
@@ -282,8 +305,9 @@ def batch_iterator(
 ):
     """Yield (x, y, valid_count) host batches.
 
-    The final short batch is zero-padded to `batch_size` (with valid_count
-    marking real rows) so jitted steps see one static shape — no recompiles.
+    The final short batch is padded to `batch_size` with REPEATED real
+    rows (valid_count marks the real ones) so jitted steps see one static
+    shape — no recompiles — without zero rows skewing BatchNorm stats.
     """
     n = len(ds)
     order = np.arange(n)

@@ -89,13 +89,11 @@ def evaluate_accuracy(
     n_data = int(mesh.shape.get("data", 1))
     b = -(-batch_size // n_data) * n_data
     n_pad = max(1, -(-n // b)) * b
-    x_np = np.asarray(ds.x, np.float32)
-    if x_np.ndim == 3 and is_cnn(model_type):
-        x_np = x_np[..., None]
-    elif x_np.ndim == 4 and not is_cnn(model_type):
-        # channelised (N, T, F, 1) features (the update_vectors contract)
-        # into an RNN: squeeze the axis like inference_loader._adapt_rank
-        x_np = x_np[..., 0]
+    from ..export.inference_loader import _adapt_rank
+
+    # add the CNN channel axis / squeeze a channelised (N, T, F, 1) into
+    # an RNN — the ONE shared implementation of the model I/O contract
+    x_np = _adapt_rank(ds.x, 4 if is_cnn(model_type) else 3)
     x_all = np.zeros((n_pad,) + x_np.shape[1:], np.float32)
     x_all[:n] = x_np
     y_all = np.zeros(n_pad, np.int32)

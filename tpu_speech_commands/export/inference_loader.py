@@ -205,8 +205,13 @@ def load_frozen_pb(model_path: str):
         return tf.graph_util.import_graph_def(graph_def, name="")
 
     placeholders = [n for n in graph_def.node if n.op == "Placeholder"]
-    outputs = [n.name for n in graph_def.node if n.name.rsplit("/", 1)[-1]
-               in ("Identity", "PartitionedCall")]
+    # output = the last Identity/PartitionedCall NODE (by op, not name —
+    # TF2 freezes emit 'Identity_1' / 'StatefulPartitionedCall' etc., and
+    # a name match would fall through to graph_def.node[-1], which can be
+    # a NoOp/const that prunes the wrong tensor)
+    outputs = [n.name for n in graph_def.node
+               if n.op in ("Identity", "PartitionedCall",
+                           "StatefulPartitionedCall")]
     in_name = placeholders[0].name + ":0"
     out_name = (outputs[-1] if outputs else graph_def.node[-1].name) + ":0"
     fn = tf.compat.v1.wrap_function(wrapped, [])

@@ -284,7 +284,12 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
             layer.set_weights([cell["kernel"], cell["recurrent_kernel"],
                                cell["bias"]])
 
-    keras_model.save(output_file, save_format="h5")
+    # Keras 3 deprecates save_format= (warns for .h5, RAISES for other
+    # paths); the extension alone selects HDF5, so default extensionless
+    # paths to .h5 instead of letting Keras silently pick .keras
+    if not output_file.endswith((".h5", ".keras")):
+        output_file += ".h5"
+    keras_model.save(output_file)
     return output_file
 
 

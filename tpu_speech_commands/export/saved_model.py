@@ -32,15 +32,19 @@ def export_saved_model(
     checkpoint_path: str,
     output_dir: str,
     batch_size: int | None = None,
+    predict=None,
 ) -> str:
-    """Native checkpoint -> TF SavedModel with a serving signature."""
+    """Native checkpoint -> TF SavedModel with a serving signature.
+
+    `predict` lets callers that already loaded the checkpoint (export_tflite,
+    export_frozen_pb run it through a temp SavedModel) skip a re-parse."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
     from ..models import input_shape, score_fn
     from ..params import pr
 
-    predict = _load_for_export(checkpoint_path)
+    predict = predict or _load_for_export(checkpoint_path)
     model, variables, model_type = predict.model, predict.variables, predict.model_type
 
     def forward(x):
@@ -88,8 +92,10 @@ def export_tflite(
     import numpy as np
     import tensorflow as tf
 
+    predict = _load_for_export(checkpoint_path)  # parse the checkpoint ONCE
     with tempfile.TemporaryDirectory() as tmp:
-        saved = export_saved_model(checkpoint_path, tmp, batch_size=1)
+        saved = export_saved_model(checkpoint_path, tmp, batch_size=1,
+                                   predict=predict)
         converter = tf.lite.TFLiteConverter.from_saved_model(saved)
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS,
@@ -98,10 +104,7 @@ def export_tflite(
         if quantize or representative_data is not None:
             converter.optimizations = [tf.lite.Optimize.DEFAULT]
         if representative_data is not None:
-            from ..training.checkpoints import load_checkpoint
-
-            _, meta = load_checkpoint(checkpoint_path)
-            is_cnn_model = meta.get("model_type", "") in (
+            is_cnn_model = predict.model_type in (
                 "simple_cnn", "simple_cnn_lite",
             )
             samples = np.asarray(representative_data, np.float32)
@@ -119,7 +122,6 @@ def export_tflite(
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
     with open(output_file, "wb") as f:
         f.write(blob)
-    predict = _load_for_export(checkpoint_path)
     _emit_sidecars(os.path.dirname(os.path.abspath(output_file)), predict)
     return output_file
 
