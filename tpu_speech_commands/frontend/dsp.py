@@ -118,7 +118,11 @@ class Frontend:
     """
 
     def __init__(self, params: ListenerParams | None = None, feature_type: str = "mfcc"):
-        p = params or pr
+        # SNAPSHOT the config: the DFT/filterbank/DCT matrices below are
+        # built from it once, so holding a live alias to the mutable
+        # global `pr` would let a later inject_params silently mix new
+        # scalar config (n_fft normalization, framing) with old matrices
+        p = (params or pr).replace()
         self.params = p
         self.feature_type = feature_type
         if feature_type == "mfcc":
@@ -174,6 +178,17 @@ class Frontend:
         the buffer_to_audio convention — deployment feeds PCM16 directly,
         halving host->device/HBM bytes)."""
         p = self.params
+        # ValueError, not a downstream shape surprise: too-short audio
+        # would frame into FEWER than n_features rows (the tail slice
+        # below silently returns them all), surfacing as an opaque
+        # mismatch inside the jitted model apply far from the cause
+        need = p.window_samples + (p.n_features - 1) * p.hop_samples
+        if audio.shape[-1] < need:
+            raise ValueError(
+                f"audio length {audio.shape[-1]} yields fewer than "
+                f"n_features={p.n_features} frames (need >= {need} "
+                "samples); pad_audio to max_samples first"
+            )
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         frames = frame_signal(audio, p.window_samples, p.hop_samples)

@@ -47,6 +47,18 @@ def get_lr_scheduler(learning_rate: float, decay_type: str | None, decay_steps: 
         # [1e-3, lr, lr/10, lr/100] (model_utils.py:31-34).  Boundaries
         # must be monotonic for join_schedules (Keras first-match
         # semantics); clamp so short runs keep the 500-step warmup.
+        if decay_steps <= 500:
+            # preserved reference quirk: the fixed 500-step warmup phase
+            # covers the whole run (Keras PiecewiseConstantDecay answers
+            # 1e-3 for every step <= 500 regardless of later boundaries),
+            # so --learning_rate never takes effect.  Same numbers, but
+            # say so instead of silently training at 1e-3.
+            print(
+                f"WARNING: piecewise_constant with decay_steps="
+                f"{decay_steps} <= 500 trains entirely inside the fixed "
+                "1e-3 warmup phase (reference model_utils.py:31-34 "
+                "semantics); use more epochs/steps or another decay_type"
+            )
         boundaries = sorted({500, max(int(decay_steps * 0.9), 501),
                              max(decay_steps, 502)})
         values = [1e-3, learning_rate, learning_rate / 10.0, learning_rate / 100.0]
@@ -72,7 +84,10 @@ def get_optimizer(
     train.py:58-59 — pass injectable with decay_type=None).
     """
     optim_type = optim_type.lower()
-    if injectable and decay_type is not None:
+    if injectable and decay_type not in (None, "none", ""):
+        # 'none'/'' are accepted no-decay spellings everywhere else
+        # (get_lr_scheduler, the inj_lr pick below) — treat them the
+        # same here instead of raising on a normalized argparse string
         # the schedule re-evaluates the injected hyperparam every step,
         # silently reverting any plateau scale — reject the combination
         # instead of logging LR reductions that never stick
