@@ -47,6 +47,25 @@ def test_packed_cache_stale_after_data_change(tmp_path):
     assert len(ds) == 10  # re-extracted: the new wav is included
 
 
+def test_packed_cache_stale_after_inplace_edit(tmp_path):
+    """Overwriting an existing wav/.npy does NOT bump the class dir's
+    mtime — the stored content fingerprint (counts + max file mtime)
+    must still catch it."""
+    root = make_synthetic_dataset(str(tmp_path / "ds"), CLASSES,
+                                  samples_per_class=3)
+    get_dataset(root, CLASSES, frontend=Frontend(), use_cache=True)
+    pack_cache(root, CLASSES)
+    feat_dir = os.path.join(root, "features", "left")
+    victim = sorted(os.listdir(feat_dir))[0]
+    victim_path = os.path.join(feat_dir, victim)
+    arr = np.load(victim_path)
+    np.save(victim_path, arr + 123.0)  # in-place edit, same file count
+    os.utime(victim_path, (os.path.getmtime(victim_path) + 5,) * 2)
+    ds = get_dataset(root, CLASSES, use_cache=True)
+    # reloaded from the live .npy tree, so the edit is visible
+    assert np.any(ds.x.max((1, 2)) > 100.0)
+
+
 def test_empty_class_survives_cached_reload(tmp_path):
     """A class dir with zero wavs is skipped at build time; the cached
     reload must skip it too (it used to raise on every run after the

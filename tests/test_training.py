@@ -179,6 +179,10 @@ def test_guard_rails():
 
     with pytest.raises(ValueError, match="injectable"):
         get_optimizer("adam", 1e-3, decay_type="cosine", injectable=True)
+    # capitalised no-decay spellings are accepted (config files pass
+    # 'None'/'NONE'), not mistaken for a schedule
+    get_optimizer("adam", 1e-3, decay_type="None", injectable=True)
+    get_optimizer("adam", 1e-3, decay_type="NONE", injectable=True)
     with pytest.raises(ValueError, match="background_bias"):
         background_bias_weights(1.0, 5)
     with pytest.raises(ValueError, match="2 classes"):
@@ -278,6 +282,26 @@ def test_unknown_average_type_raises():
         Trainer(model, state, "simple_cnn_lite", len(CLASSES),
                 TrainerConfig(batch_size=16, epochs=1, log_tensorboard=False),
                 average_type="moving_average")
+
+
+def test_staged_dataset_inplace_mutation_raises(tmp_path):
+    """Mutating a dataset's arrays in place after the trainer staged them
+    on device must raise instead of silently serving the stale copy."""
+    train_ds = toy_dataset(seed=0)
+    tx = get_optimizer("adam", 3e-3, decay_type=None)
+    model, state = create_train_state("simple_cnn_lite", len(CLASSES), tx,
+                                      jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=16, epochs=1,
+                        log_dir=str(tmp_path / "logs"),
+                        log_tensorboard=False, seed=3)
+    trainer = Trainer(model, state, "simple_cnn_lite", len(CLASSES), cfg)
+    trainer._stage_dataset(train_ds)
+    train_ds.x[0] += 100.0  # in-place mutation: device copy is now stale
+    with pytest.raises(ValueError, match="mutated in place"):
+        trainer._stage_dataset(train_ds)
+    # a NEW dataset wrapping fresh arrays restages cleanly
+    fresh = Dataset(train_ds.x.copy(), train_ds.y.copy())
+    trainer._stage_dataset(fresh)
 
 
 def test_fit_is_deterministic_for_fixed_seed(tmp_path):

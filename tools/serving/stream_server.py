@@ -111,16 +111,28 @@ def main():
             return states, score_fn(model.apply(variables, x, train=False))
 
         _step = jax.jit(_fused, donate_argnums=(0,))
+        _update_only = jax.jit(lambda s, c: update(s, c)[0],
+                               donate_argnums=(0,))
 
         def tick_scores(states, chunks):
             states, scores = _step(states, jnp.asarray(chunks))
             return states, np.asarray(scores)
+
+        def tick_update(states, chunks):
+            # idle tick (no active slot): ring update only — don't burn
+            # a classifier dispatch computing scores nobody reads
+            return _update_only(states, jnp.asarray(chunks))
     else:
         _update = jax.jit(update, donate_argnums=(0,))
+        _update_only = jax.jit(lambda s, c: update(s, c)[0],
+                               donate_argnums=(0,))
 
         def tick_scores(states, chunks):
             states, feats = _update(states, jnp.asarray(chunks))
             return states, np.asarray(predict(np.asarray(feats)))
+
+        def tick_update(states, chunks):
+            return _update_only(states, jnp.asarray(chunks))
 
     n_slots = args.slots
     states = init_stream_state(pr, n_streams=n_slots)
@@ -174,8 +186,8 @@ def main():
             slot_pos[i] += args.chunk_size
             active.append(i)
 
-        states, scores = tick_scores(states, chunks)
         if active:
+            states, scores = tick_scores(states, chunks)
             idx = scores.argmax(axis=1)
             conf = scores[np.arange(n_slots), idx].astype(np.float64)
             non_bg = idx != 0
@@ -186,6 +198,8 @@ def main():
             for i in np.nonzero(fired)[0]:
                 print(f"[tick {tick}] slot {i} ({slot_name[i]}): "
                       f"command '{classes[idx[i]]}' detected!")
+        else:
+            states = tick_update(states, chunks)
 
         for i in list(active):
             if slot_pos[i] >= len(slot_wav[i]):

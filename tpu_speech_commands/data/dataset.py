@@ -188,6 +188,28 @@ def _shuffled_split(x, y, val_split: float, seed: int):
 PACKED_CACHE = "features_packed.npz"
 
 
+def _cache_fingerprint(dataset_path: str, class_names: list[str]) -> str:
+    """Cheap content fingerprint of the source tree a pack snapshots.
+
+    Per class: file count and max file mtime over both the wavs and the
+    per-sample .npy cache.  Unlike directory mtimes this catches in-place
+    edits to an existing file and same-second adds on coarse-mtime
+    filesystems (mtime compared at 1 µs granularity per file, not via the
+    parent dir)."""
+    parts = []
+    for class_name in class_names:
+        for root in ("sounds", "features"):
+            for cand in (class_name, class_name.lower()):
+                d = os.path.join(dataset_path, root, cand)
+                if not os.path.isdir(d):
+                    continue
+                pat = "*.wav" if root == "sounds" else "*.npy"
+                files = glob(os.path.join(d, pat))
+                max_t = max((os.path.getmtime(f) for f in files), default=0.0)
+                parts.append(f"{root}/{cand}:{len(files)}:{max_t:.6f}")
+    return ";".join(parts)
+
+
 def pack_cache(dataset_path: str, class_names: list[str]) -> str:
     """Consolidate the per-sample .npy cache into one packed file.
 
@@ -199,7 +221,9 @@ def pack_cache(dataset_path: str, class_names: list[str]) -> str:
     ds = get_dataset(dataset_path, class_names, use_cache=True)
     out = os.path.join(dataset_path, PACKED_CACHE)
     np.savez(out, x=ds.x, y=ds.y,
-             classes=np.array(class_names, dtype=np.str_))
+             classes=np.array(class_names, dtype=np.str_),
+             fingerprint=np.array(
+                 _cache_fingerprint(dataset_path, class_names), dtype=np.str_))
     return out
 
 
@@ -208,22 +232,25 @@ def _load_packed(dataset_path: str, class_names: list[str]):
     if not os.path.exists(path):
         return None
     # staleness check: the pack snapshots the per-sample cache / sounds
-    # tree.  Adding or removing wavs/.npy files bumps the class dir's
-    # mtime, and deleting features/ (the force-re-extract gesture) bumps
-    # the dataset root's — in either case fall back to the live tree
-    # instead of silently serving outdated features
-    pack_t = os.path.getmtime(path)
-    feature_root = os.path.join(dataset_path, "features")
-    sound_root = os.path.join(dataset_path, "sounds")
-    dirs = [dataset_path, feature_root, sound_root]
-    for root in (feature_root, sound_root):
-        for c in class_names:
-            dirs += [os.path.join(root, c), os.path.join(root, c.lower())]
-    if any(os.path.isdir(d) and os.path.getmtime(d) > pack_t for d in dirs):
-        return None
-    # one zip read (npz members are decompressed into memory; mmap does
-    # not apply to archives)
+    # tree.  Primary: a per-file content fingerprint stored inside the
+    # pack (counts + max file mtime per class dir) — robust to coarse
+    # directory mtimes and in-place file edits, which the dir-mtime probe
+    # below misses.  Old packs without a fingerprint fall back to the
+    # dir-mtime heuristic.
     data = np.load(path)
+    if "fingerprint" in data.files:
+        if str(data["fingerprint"]) != _cache_fingerprint(dataset_path, class_names):
+            return None
+    else:
+        pack_t = os.path.getmtime(path)
+        feature_root = os.path.join(dataset_path, "features")
+        sound_root = os.path.join(dataset_path, "sounds")
+        dirs = [dataset_path, feature_root, sound_root]
+        for root in (feature_root, sound_root):
+            for c in class_names:
+                dirs += [os.path.join(root, c), os.path.join(root, c.lower())]
+        if any(os.path.isdir(d) and os.path.getmtime(d) > pack_t for d in dirs):
+            return None
     stored = [str(c) for c in data["classes"]]
     if stored != list(class_names):
         return None  # class list changed; fall back to per-sample cache

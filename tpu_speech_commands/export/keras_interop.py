@@ -286,8 +286,9 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
 
     # Keras 3 deprecates save_format= (warns for .h5, RAISES for other
     # paths); the extension alone selects HDF5, so default extensionless
-    # paths to .h5 instead of letting Keras silently pick .keras
-    if not output_file.endswith((".h5", ".keras")):
+    # paths to .h5 instead of letting Keras silently pick .keras.  The
+    # RETURNED path is authoritative — it may differ from the argument.
+    if not output_file.endswith((".h5", ".hdf5", ".keras")):
         output_file += ".h5"
     keras_model.save(output_file)
     return output_file

@@ -84,13 +84,14 @@ def get_optimizer(
     train.py:58-59 — pass injectable with decay_type=None).
     """
     optim_type = optim_type.lower()
-    if injectable and decay_type not in (None, "none", ""):
-        # 'none'/'' are accepted no-decay spellings everywhere else
-        # (get_lr_scheduler, the inj_lr pick below) — treat them the
-        # same here instead of raising on a normalized argparse string
-        # the schedule re-evaluates the injected hyperparam every step,
-        # silently reverting any plateau scale — reject the combination
-        # instead of logging LR reductions that never stick
+    # 'None'/'none'/'' are all accepted no-decay spellings (config files
+    # and argparse both produce capitalised variants) — normalise before
+    # the membership test
+    no_decay = (decay_type or "").lower() in ("none", "")
+    if injectable and not no_decay:
+        # a decay schedule re-evaluates the injected hyperparam every
+        # step, silently reverting any plateau scale — reject the
+        # combination instead of logging LR reductions that never stick
         raise ValueError(
             "injectable=True requires decay_type=None: a decay schedule "
             "overwrites the injected learning_rate each step, so plateau "

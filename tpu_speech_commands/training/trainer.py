@@ -347,17 +347,43 @@ class Trainer:
         staged = ds.x.size * 4 + len(ds) * 8
         return staged <= self.scan_staging_limit_bytes
 
+    @staticmethod
+    def _stage_fingerprint(ds: Dataset) -> bytes:
+        """Cheap content fingerprint of a staged dataset: shapes plus a
+        hash over boundary slices (first/last x rows, head/tail of y).
+        Samples O(row) bytes, not the whole array — enough to catch the
+        common in-place mutations (augmenting x in place, relabeling y)
+        without an O(N) pass per epoch."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(repr((ds.x.shape, str(ds.x.dtype), ds.y.shape)).encode())
+        if len(ds.x):
+            h.update(np.ascontiguousarray(ds.x[0]).tobytes())
+            h.update(np.ascontiguousarray(ds.x[-1]).tobytes())
+            h.update(np.ascontiguousarray(ds.y[:64]).tobytes())
+            h.update(np.ascontiguousarray(ds.y[-64:]).tobytes())
+        return h.digest()
+
     def _stage_dataset(self, ds: Dataset):
         """Pad ds to a batch multiple and place it on device ONCE (cached);
         returns (x_all, y_all, mask_all, n_batches).  The cache holds
         references to ds.x AND ds.y and validates both identities — an
         id() key alone could collide when a freed Dataset's id is reused,
         and a relabeled dataset wrapping the same x must restage.  Arrays
-        mutated IN PLACE are not detected; build a new Dataset (or new
-        arrays) instead of mutating staged ones."""
+        mutated IN PLACE are detected by a boundary-slice fingerprint and
+        raise — build a new Dataset (or new arrays) instead of mutating
+        staged ones."""
         key = id(ds)
         cached = self._device_datasets.get(key)
         if cached is not None and cached[0] is ds.x and cached[1] is ds.y:
+            if self._stage_fingerprint(ds) != cached[3]:
+                raise ValueError(
+                    "staged dataset was mutated in place after staging; "
+                    "the device copy would silently serve stale data — "
+                    "build a new Dataset (new arrays) instead of mutating "
+                    "one the trainer has staged"
+                )
             # LRU refresh: the eviction below drops the OLDEST entry, and
             # without move-on-hit a fit rotating >4 datasets would evict
             # and restage the training set itself every epoch
@@ -386,7 +412,8 @@ class Trainer:
         m_all[:n] = 1.0
         put = partial(jax.device_put, device=self._data_sharding)
         staged = (put(x_all), put(y_all), put(m_all), n_pad // b)
-        self._device_datasets[key] = (ds.x, ds.y, staged)
+        self._device_datasets[key] = (ds.x, ds.y, staged,
+                                      self._stage_fingerprint(ds))
         # bound the cache: a fit uses train+val; evaluating many held-out
         # datasets must not pin a staging-cap's worth of HBM per dataset
         while len(self._device_datasets) > 4:
