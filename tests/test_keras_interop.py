@@ -87,3 +87,42 @@ def test_import_h5_checkpoint_roundtrip(tmp_path):
     scores = predict(x)
     keras_scores = np.asarray(keras_model(x, training=False))
     np.testing.assert_allclose(scores, keras_scores, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", ["simple_gru", "simple_lstm"])
+def test_stacked_rnn_h5_roundtrip(model_type, tmp_path):
+    """2-layer RNN interop, both directions (reference rnn.py:28-35 mid
+    layers return sequences): Keras H5 -> flax scores match, and our
+    stacked checkpoint -> H5 -> Keras scores match."""
+    # direction 1: reference-style stacked Keras model -> our import
+    keras_model = build_keras_model(model_type, NUM_CLASSES, num_layers=2)
+    h5_path = str(tmp_path / "stacked.h5")
+    keras_model.save(h5_path, save_format="h5")
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3,) + input_shape(model_type)).astype(np.float32)
+    keras_scores = np.asarray(keras_model(x, training=False))
+
+    variables = load_keras_h5_weights(h5_path, model_type, NUM_CLASSES)
+    cell = "gru" if model_type == "simple_gru" else "lstm"
+    assert f"{cell}_unit_1" in variables["params"]["backbone"]
+    model = get_model(model_type, NUM_CLASSES, num_layers=2)
+    logits = model.apply(
+        {k: jax.tree_util.tree_map(jnp.asarray, v) for k, v in variables.items()},
+        jnp.asarray(x), train=False,
+    )
+    ours = np.asarray(jax.nn.softmax(logits, -1))
+    np.testing.assert_allclose(ours, keras_scores, rtol=1e-4, atol=1e-5)
+
+    # direction 2: import -> native checkpoint -> export H5 -> Keras
+    from tpu_speech_commands.export.inference_loader import load_native
+    from tpu_speech_commands.export.keras_interop import import_h5_checkpoint
+
+    ckpt = str(tmp_path / "stacked.npz")
+    import_h5_checkpoint(h5_path, model_type, NUM_CLASSES, ckpt)
+    np.testing.assert_allclose(load_native(ckpt)(x), keras_scores,
+                               rtol=1e-4, atol=1e-5)
+    h5_back = export_keras_h5(ckpt, str(tmp_path / "back.h5"))
+    reloaded = tf.keras.models.load_model(h5_back, compile=False)
+    np.testing.assert_allclose(np.asarray(reloaded(x, training=False)),
+                               keras_scores, rtol=1e-4, atol=1e-5)

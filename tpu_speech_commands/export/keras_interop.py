@@ -13,8 +13,9 @@ Layer-name mapping (Keras default names -> flax modules):
   batch_normalization[_k]-> block{k+1}/bn (+ batch_stats mean/var)
   dense[_k] (backbone)   -> feature_dense
   score_predict          -> score_predict
-  gru_unit_0 / lstm_unit_0 -> backbone/gru_unit_0 | lstm_unit_0
-    (Keras gate orders [z,r,h] / [i,f,c,o] match the cells in models/rnn.py;
+  gru_unit_<i> / lstm_unit_<i> -> backbone/gru_unit_<i> | lstm_unit_<i>
+    (whole stack for num_layers > 1, reference rnn.py:28-35; Keras gate
+     orders [z,r,h] / [i,f,c,o] match the cells in models/rnn.py;
      reset_after GRU bias (2, 3U) splits into bias_input/bias_recurrent)
 """
 from __future__ import annotations
@@ -124,38 +125,38 @@ def _load_cnn(w, model_type):
 
 def _load_rnn(w, model_type):
     cell = "gru" if model_type == "simple_gru" else "lstm"
-    units = _indexed(w, f"{cell}_unit_0")
+    # reference names layers {cell}_unit_0 .. {cell}_unit_{num_layers-1}
+    # (classifier/models/rnn.py:28-35) — enumerate the whole stack
+    units = _indexed(w, f"{cell}_unit")
     assert units, f"{cell}_unit_0 not found"
-    if _indexed(w, f"{cell}_unit_1"):
-        raise NotImplementedError(
-            "stacked (num_layers > 1) RNN H5 import is not supported by the "
-            "Keras interop path — the reference architecture uses one layer; "
-            "use the native .npz checkpoint / .tscm / ONNX paths for stacked "
-            "models"
-        )
-    layer = units[0]
-    kernel = _layer_tensor(w, layer, "kernel")
-    recurrent = _layer_tensor(w, layer, "recurrent_kernel")
-    bias = _layer_tensor(w, layer, "bias")
 
-    if cell == "gru":
-        # Keras reset_after GRU bias has shape (2, 3U): [input, recurrent]
-        assert bias.ndim == 2 and bias.shape[0] == 2, bias.shape
-        cell_params = {
-            "kernel": kernel,
-            "recurrent_kernel": recurrent,
-            "bias_input": bias[0],
-            "bias_recurrent": bias[1],
-        }
-    else:
-        cell_params = {
-            "kernel": kernel,
-            "recurrent_kernel": recurrent,
-            "bias": bias,
-        }
+    backbone: dict = {}
+    for i, layer in enumerate(units):
+        assert layer == f"{cell}_unit_{i}", (
+            f"non-contiguous RNN stack naming: expected {cell}_unit_{i}, "
+            f"found {layer}"
+        )
+        kernel = _layer_tensor(w, layer, "kernel")
+        recurrent = _layer_tensor(w, layer, "recurrent_kernel")
+        bias = _layer_tensor(w, layer, "bias")
+        if cell == "gru":
+            # Keras reset_after GRU bias has shape (2, 3U): [input, recurrent]
+            assert bias.ndim == 2 and bias.shape[0] == 2, bias.shape
+            backbone[layer] = {
+                "kernel": kernel,
+                "recurrent_kernel": recurrent,
+                "bias_input": bias[0],
+                "bias_recurrent": bias[1],
+            }
+        else:
+            backbone[layer] = {
+                "kernel": kernel,
+                "recurrent_kernel": recurrent,
+                "bias": bias,
+            }
 
     params = {
-        "backbone": {f"{cell}_unit_0": cell_params},
+        "backbone": backbone,
         "score_predict": {
             "kernel": _layer_tensor(w, "score_predict", "kernel"),
             "bias": _layer_tensor(w, "score_predict", "bias"),
@@ -165,10 +166,11 @@ def _load_rnn(w, model_type):
 
 
 def build_keras_model(model_type: str, num_classes: int, n_features: int = 30,
-                      feature_size: int = 20):
+                      feature_size: int = 20, num_layers: int = 1):
     """Construct the reference-architecture tf.keras model for a model type
-    (topology of classifier/models/{cnn,rnn}.py, via the public Keras API).
-    Used for H5 export and as the parity fixture in tests."""
+    (topology of classifier/models/{cnn,rnn}.py, via the public Keras API;
+    num_layers stacks RNN layers with mid layers returning sequences,
+    rnn.py:28-35).  Used for H5 export and as the parity fixture in tests."""
     import tensorflow as tf
     from tensorflow.keras import layers
 
@@ -198,12 +200,14 @@ def build_keras_model(model_type: str, num_classes: int, n_features: int = 30,
     elif model_type in ("simple_gru", "simple_lstm"):
         inp = layers.Input(shape=(n_features, feature_size),
                            name="feature_input")
-        if model_type == "simple_lstm":
-            x = layers.LSTM(48, activation="tanh", dropout=0.2,
-                            name="lstm_unit_0")(inp)
-        else:
-            x = layers.GRU(48, activation="linear", dropout=0.2,
-                           name="gru_unit_0")(inp)
+        lstm = model_type == "simple_lstm"
+        Cell = layers.LSTM if lstm else layers.GRU
+        kw = dict(activation="tanh" if lstm else "linear", dropout=0.2)
+        prefix = "lstm_unit_" if lstm else "gru_unit_"
+        x = inp
+        for i in range(num_layers - 1):  # mid layers return sequences
+            x = Cell(48, return_sequences=True, name=f"{prefix}{i}", **kw)(x)
+        x = Cell(48, name=f"{prefix}{num_layers - 1}", **kw)(x)
     else:
         raise ValueError(f"unsupported model type: {model_type}")
     out = layers.Dense(num_classes, activation="softmax",
@@ -232,16 +236,15 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
         pr.override(meta["params"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats") or {}
-    if any("_unit_" in k and not k.endswith("_unit_0") for k in
-           (variables["params"].get("backbone") or {})):
-        raise NotImplementedError(
-            "stacked (num_layers > 1) RNN H5 export is not supported — the "
-            "reference architecture uses one layer; use SavedModel/ONNX/"
-            ".tscm for stacked models"
-        )
+    num_layers = max(
+        (int(k.rsplit("_", 1)[1]) + 1
+         for k in (params.get("backbone") or {}) if "_unit_" in k),
+        default=1,
+    )
 
     keras_model = build_keras_model(
-        model_type, num_classes, pr.n_features, pr.feature_size
+        model_type, num_classes, pr.n_features, pr.feature_size,
+        num_layers=num_layers,
     )
 
     # map by layer order (Keras auto-name counters are process-global, so
@@ -276,11 +279,11 @@ def export_keras_h5(checkpoint_path: str, output_file: str) -> str:
             layer.set_weights([params["feature_dense"]["kernel"],
                                params["feature_dense"]["bias"]])
         elif name.startswith("gru_unit"):
-            cell = params["backbone"]["gru_unit_0"]
+            cell = params["backbone"][name]  # gru_unit_<i> names match
             bias = np.stack([cell["bias_input"], cell["bias_recurrent"]])
             layer.set_weights([cell["kernel"], cell["recurrent_kernel"], bias])
         elif name.startswith("lstm_unit"):
-            cell = params["backbone"]["lstm_unit_0"]
+            cell = params["backbone"][name]
             layer.set_weights([cell["kernel"], cell["recurrent_kernel"],
                                cell["bias"]])
 
@@ -302,12 +305,20 @@ def import_h5_checkpoint(h5_path: str, model_type: str, num_classes: int,
     from ..training.checkpoints import save_checkpoint
 
     variables = load_keras_h5_weights(h5_path, model_type, num_classes)
+    num_layers = max(
+        (int(k.rsplit("_", 1)[1]) + 1
+         for k in (variables["params"].get("backbone") or {})
+         if "_unit_" in k),
+        default=1,
+    )
     meta = {
         "model_type": model_type,
         "num_classes": num_classes,
         "params": pr.to_dict(),
         "imported_from": h5_path,
     }
+    if num_layers != 1:
+        meta["num_layers"] = num_layers
     if classes:
         meta["classes"] = classes
     save_checkpoint(output_path, variables, meta)
