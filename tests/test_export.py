@@ -77,6 +77,46 @@ def test_frozen_pb_parity(tmp_path):
     np.testing.assert_allclose(pb_predict(feats), ref_scores, rtol=1e-4, atol=1e-5)
 
 
+def test_frozen_pb_output_prefix_and_pbtxt(tmp_path):
+    """keras_to_tensorflow.py side options: --output_nodes_prefix aliases
+    the outputs via Identity nodes (originals kept) and --save_graph_def
+    dumps an ascii pbtxt."""
+    import tensorflow as tf
+
+    from tpu_speech_commands.export.saved_model import export_frozen_pb
+
+    ckpt = _make_checkpoint(tmp_path, "simple_cnn_lite")
+    native, _ = load_inference_model(ckpt)
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((1, 30, 20)).astype(np.float32)
+    ref_scores = native(feats)
+
+    pb_path = str(tmp_path / "renamed.pb")
+    export_frozen_pb(ckpt, pb_path, output_nodes_prefix="output_",
+                     save_graph_def=True)
+    assert os.path.exists(str(tmp_path / "renamed.pbtxt"))
+
+    graph_def = tf.compat.v1.GraphDef()
+    with open(pb_path, "rb") as f:
+        graph_def.ParseFromString(f.read())
+    names = {n.name for n in graph_def.node}
+    assert "output_0" in names
+
+    with tf.Graph().as_default() as graph:
+        tf.graph_util.import_graph_def(graph_def, name="")
+        input_name = next(
+            n.name for n in graph_def.node if n.op == "Placeholder")
+        with tf.compat.v1.Session(graph=graph) as sess:
+            out = sess.run("output_0:0",
+                           {input_name + ":0": feats[..., None]})
+    np.testing.assert_allclose(out, ref_scores, rtol=1e-4, atol=1e-5)
+
+    # existing loader still resolves the original output nodes
+    pb_predict, _ = load_inference_model(pb_path)
+    np.testing.assert_allclose(pb_predict(feats), ref_scores,
+                               rtol=1e-4, atol=1e-5)
+
+
 # -- ONNX (direct emitter + mini runtime; no tf2onnx/onnxruntime needed) ------
 
 @pytest.mark.parametrize(

@@ -37,6 +37,13 @@ def main():
                         help="npy/npz of (N, n_features, feature_size) "
                              "features for full int8 activation calibration "
                              "(MNN quantized.out analogue)")
+    parser.add_argument("--output_nodes_prefix", type=str, default=None,
+                        help="(--format pb) alias output nodes as "
+                             "<prefix>0..N-1 via appended Identity nodes "
+                             "(reference keras_to_tensorflow.py:99-111)")
+    parser.add_argument("--save_graph_def", action="store_true",
+                        help="(--format pb) also dump an ascii .pbtxt "
+                             "next to the .pb")
     parser.add_argument("--params_path", type=str, default=None)
     args = parser.parse_args()
 
@@ -79,7 +86,9 @@ def main():
         out = export_tflite(args.checkpoint, args.output_path, args.quantize,
                             representative_data=rep)
     elif args.format == "pb":
-        out = export_frozen_pb(args.checkpoint, args.output_path)
+        out = export_frozen_pb(args.checkpoint, args.output_path,
+                               output_nodes_prefix=args.output_nodes_prefix,
+                               save_graph_def=args.save_graph_def)
     elif args.format == "keras_h5":
         from tpu_speech_commands.export.keras_interop import export_keras_h5
 

@@ -126,12 +126,25 @@ def export_tflite(
     return output_file
 
 
-def export_frozen_pb(checkpoint_path: str, output_file: str) -> str:
+def export_frozen_pb(
+    checkpoint_path: str,
+    output_file: str,
+    output_nodes_prefix: str | None = None,
+    save_graph_def: bool = False,
+) -> str:
     """Native checkpoint -> frozen TF GraphDef .pb (batch 1).
 
     Reference equivalent of keras_to_tensorflow.py:77-147
     (convert_variables_to_constants); here derived from the jax2tf
     SavedModel via convert_variables_to_constants_v2.
+
+    `output_nodes_prefix` appends Identity nodes `<prefix>0..<prefix>N-1`
+    aliasing the graph outputs (keras_to_tensorflow.py:99-111 semantics —
+    the original nodes stay, so existing loaders keep working) and
+    `save_graph_def` additionally writes an ascii `<stem>.pbtxt` next to
+    the .pb (keras_to_tensorflow.py:122-126).  The TF1 TOCO `--quantize`
+    TransformGraph path is deliberately not reproduced — the TFLite
+    dynamic-range/full-int8 and native-int8 exporters supersede it.
     """
     import tempfile
 
@@ -146,13 +159,21 @@ def export_frozen_pb(checkpoint_path: str, output_file: str) -> str:
         fn = loaded.signatures["serving_default"]
         frozen = convert_variables_to_constants_v2(fn)
         graph_def = frozen.graph.as_graph_def()
-    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+        if output_nodes_prefix:
+            for i, tensor in enumerate(frozen.outputs):
+                node = graph_def.node.add()
+                node.op = "Identity"
+                node.name = f"{output_nodes_prefix}{i}"
+                node.input.append(tensor.name.split(":")[0])
+                node.attr["T"].type = tensor.dtype.as_datatype_enum
+    out_dir = os.path.dirname(os.path.abspath(output_file))
+    os.makedirs(out_dir, exist_ok=True)
     tf.io.write_graph(
-        graph_def,
-        os.path.dirname(os.path.abspath(output_file)),
-        os.path.basename(output_file),
-        as_text=False,
+        graph_def, out_dir, os.path.basename(output_file), as_text=False
     )
+    if save_graph_def:
+        stem = os.path.splitext(os.path.basename(output_file))[0]
+        tf.io.write_graph(graph_def, out_dir, stem + ".pbtxt", as_text=True)
     return output_file
 
 
