@@ -107,6 +107,59 @@ def test_background_corpus_prepare_script(tmp_path, wav_dir):
     assert rate == 16000 and n == 16000
 
 
+def test_aishell_prepare_script_post_download(tmp_path, wav_dir):
+    """The AISHELL per-corpus wrapper, exercised from a fake pre-downloaded
+    data_aishell.tgz (the script skips wget when the archive exists):
+    nested per-speaker tarballs -> 1 s clips under <out>/sounds/background."""
+    import tarfile
+
+    # fake archive layout: data_aishell/wav/S0002.tar.gz each holding wavs
+    stage = tmp_path / "stage" / "data_aishell" / "wav"
+    stage.mkdir(parents=True)
+    inner_src = tmp_path / "inner" / "S0002"
+    inner_src.mkdir(parents=True)
+    import shutil
+
+    for i, w in enumerate(sorted(os.listdir(wav_dir))):
+        shutil.copy(os.path.join(wav_dir, w), inner_src / f"BAC{i}.wav")
+    with tarfile.open(stage / "S0002.tar.gz", "w:gz") as t:
+        t.add(inner_src, arcname="S0002")
+    work = tmp_path / "work"
+    work.mkdir()
+    with tarfile.open(work / "data_aishell.tgz", "w:gz") as t:
+        t.add(tmp_path / "stage" / "data_aishell", arcname="data_aishell")
+
+    out = tmp_path / "corpus_out"
+    script = os.path.join(REPO, "tools", "dataset", "aishell",
+                          "dataset_prepare.sh")
+    result = subprocess.run(["bash", script, str(out), str(work)],
+                            capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    clips = os.listdir(out / "sounds" / "background")
+    assert len(clips) >= 2
+    # work tree cleaned but the archive kept for re-runs
+    assert (work / "data_aishell.tgz").exists()
+    assert not (work / "aishell_wav").exists()
+
+
+def test_corpus_prepare_scripts_fail_cleanly_without_tools(tmp_path):
+    """libri_speech/pdsounds wrappers need ffmpeg (absent in this image):
+    they must exit non-zero with an actionable message, not half-run."""
+    for corpus, needle in (("libri_speech", "ffmpeg"),
+                           ("pdsounds", "p7zip|ffmpeg")):
+        script = os.path.join(REPO, "tools", "dataset", corpus,
+                              "dataset_prepare.sh")
+        result = subprocess.run(
+            ["bash", script, str(tmp_path / "out"), str(tmp_path / "work")],
+            capture_output=True, text=True,
+        )
+        assert result.returncode != 0
+        import re
+
+        assert re.search(needle, result.stdout + result.stderr), (
+            corpus, result.stdout, result.stderr)
+
+
 def test_silent_check(wav_dir):
     result = run_tool("silent_check.py", "--input_path", str(wav_dir))
     assert "SILENT" in result.stdout and "quiet.wav" in result.stdout
