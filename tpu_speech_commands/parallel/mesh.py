@@ -7,17 +7,24 @@ rules; there is no custom transport to write — collectives ride ICI within
 a slice (and DCN across slices) automatically once shardings are declared.
 
 Axes:
-- 'data'  — batch-parallel axis (gradients all-reduced by XLA psum)
+- 'replica' — slice-parallel axis for multi-slice pods (present only on
+  hybrid meshes from `make_hybrid_mesh`): pure data parallelism whose
+  gradient all-reduce crosses DCN, so it carries ONLY the once-per-step
+  gradient/metric reduction — nothing per-layer ever travels this axis
+- 'data'  — batch-parallel axis (gradients all-reduced by XLA psum over ICI)
 - 'model' — tensor-parallel axis for the dense layers (demonstrated in the
   dry-run path; the production models are small enough that data parallel
   is the perf-optimal layout, so model=1 is the default)
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+REPLICA_AXIS = "replica"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -47,9 +54,75 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_hybrid_mesh(
+    n_replica: int,
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('replica', 'data', 'model') mesh for a multi-slice pod.
+
+    'replica' is the DCN (cross-slice) axis; 'data'/'model' stay within a
+    slice so every per-layer collective (the tensor-parallel psum) rides
+    ICI and only the once-per-step gradient all-reduce crosses DCN —
+    SURVEY.md §2.9's ICI/DCN mapping.
+
+    On real multi-slice hardware (devices carry a `slice_index`) the
+    assignment is delegated to `mesh_utils.create_hybrid_device_mesh`,
+    which keeps each mesh row inside one slice.  Single-slice device sets
+    (including the virtual CPU mesh used by tests and the driver dryrun)
+    fall back to a row-major reshape: the axis SEMANTICS — batch split
+    over replica x data, gradient reduce over both — are identical, only
+    the physical slice boundary is simulated.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // (n_replica * n_model)
+    if min(n_replica, n_data, n_model) < 1 or \
+            n_replica * n_data * n_model > len(devices):
+        raise ValueError(
+            f"hybrid mesh {n_replica}x{n_data}x{n_model} does not fit "
+            f"{len(devices)} devices"
+        )
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, n_data, n_model),
+            dcn_mesh_shape=(n_replica, 1, 1),
+            devices=devices,
+        ).reshape(n_replica, n_data, n_model)
+    else:
+        dev_array = np.asarray(
+            devices[: n_replica * n_data * n_model]
+        ).reshape(n_replica, n_data, n_model)
+    return Mesh(dev_array, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the batch dimension shards over, outermost first."""
+    return tuple(
+        a for a in (REPLICA_AXIS, DATA_AXIS) if a in mesh.axis_names
+    )
+
+
+def batch_shards(mesh: Mesh | None) -> int:
+    """Total way-count of the batch split (replica x data)."""
+    if mesh is None:
+        return 1
+    return math.prod(mesh.shape[a] for a in batch_axes(mesh))
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec splitting the leading axis over every batch axis."""
+    axes = batch_axes(mesh)
+    return P(axes if len(axes) > 1 else (axes[0] if axes else None))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over 'replica' x 'data'."""
+    return NamedSharding(mesh, batch_spec(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
