@@ -51,6 +51,57 @@ def test_fast_math_stays_close(audio_batch):
     assert np.abs(fast - exact).max() < 0.05
 
 
+def test_emit_deltas_matches_xla_frontend(audio_batch):
+    """In-kernel delta emission (VERDICT r3 item 8): the fused kernel's
+    emit_deltas output must match Frontend(use_delta=True) — including the
+    zero first-retained-frame convention from trimming BEFORE add_deltas
+    (reference semantics: sonopy features then data_utils.py:50-58)."""
+    p = ListenerParams(use_delta=True)
+    a = jnp.asarray(audio_batch)
+    expect = np.asarray(Frontend(p)(a))
+    assert expect.shape == (8, 30, 40)
+    for mode in ("ct", "dense"):
+        fused = make_fused_frontend(p, batch_tile=4, interpret=True,
+                                    dft_mode=mode, emit_deltas=True)
+        got = np.asarray(fused(a))
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"dft_mode={mode}")
+
+
+def test_emit_deltas_time_major(audio_batch):
+    """Deltas compose with the time-major handoff layout (the serving
+    fast path): (T, B, 2F) transposed back equals the batch-major run."""
+    p = ListenerParams(use_delta=True)
+    a = jnp.asarray(audio_batch)
+    bm = make_fused_frontend(p, batch_tile=4, interpret=True,
+                             emit_deltas=True)
+    tm = make_fused_frontend(p, batch_tile=4, interpret=True,
+                             emit_deltas=True, time_major=True)
+    got_tm = np.asarray(tm(a))
+    assert got_tm.shape == (30, 8, 40)
+    np.testing.assert_allclose(
+        got_tm.transpose(1, 0, 2), np.asarray(bm(a)), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_training_frontend_selects_fused_for_delta_config():
+    """use_delta no longer forces the XLA add_deltas wrapper: the selector
+    hands back the bare fused kernel with in-kernel deltas, and its output
+    matches the XLA chain."""
+    from tpu_speech_commands.ops import select_training_frontend
+
+    p = ListenerParams(use_delta=True)
+    fe, kind = select_training_frontend(p, "mfcc", 8, batch_tile=4,
+                                        interpret=True, verbose=False)
+    assert kind == "pallas"
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((8, p.max_samples)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fe(a)), np.asarray(Frontend(p)(a)), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_fused_rejects_bad_batch(audio_batch):
     fused = make_fused_frontend(ListenerParams(), batch_tile=8, interpret=True)
     with pytest.raises(ValueError):

@@ -147,14 +147,15 @@ def test_scorer_immune_to_later_checkpoint_loads(tmp_path, audio_batch):
 
 
 def test_scorer_use_delta_cnn(tmp_path, audio_batch):
-    """use_delta: frontend takes pallas-ct+deltas and the megakernel sees
+    """use_delta: deltas are emitted INSIDE the frontend kernel, so the
+    config keeps the time-major fast path, and the megakernel sees
     (30, 40) features — block-3 width 10 is EVEN, the asymmetric-SAME-pad
     shape that produced ~0.3 logit errors before _same_pad_lo."""
     pr.override({"use_delta": True})
     ckpt = _make_checkpoint(tmp_path, "simple_cnn")
     fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
                               use_pallas=True)
-    assert fused.paths["frontend"] == "pallas-ct+deltas"
+    assert fused.paths["frontend"] == "pallas-ct(deltas)(time-major)"
     assert fused.paths["classifier"] == "pallas-megakernel"
     plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
 
@@ -162,6 +163,26 @@ def test_scorer_use_delta_cnn(tmp_path, audio_batch):
     np.testing.assert_allclose(
         np.asarray(fused(a)), np.asarray(plain(a)), rtol=1e-4, atol=1e-5,
     )
+
+
+def test_scorer_use_delta_gru_bf16(tmp_path, audio_batch):
+    """Delta config on the GRU flagship with a bf16 handoff: the in-kernel
+    delta emission must compose with BOTH fast-path optimisations (VERDICT
+    r3 item 8 'done' criterion)."""
+    pr.override({"use_delta": True})
+    ckpt = _make_checkpoint(tmp_path, "simple_gru")
+    fused = make_batch_scorer(ckpt, batch_tile=4, interpret=True,
+                              use_pallas=True, compute_dtype=jnp.bfloat16)
+    assert fused.paths["frontend"] == \
+        "pallas-ct(deltas)(bf16-handoff)(time-major)"
+    assert fused.paths["classifier"] == "pallas-rnn"
+    plain = make_batch_scorer(ckpt, use_pallas=False, jit=False)
+
+    a = jnp.asarray(audio_batch)
+    got, want = np.asarray(fused(a)), np.asarray(plain(a))
+    # bf16 classifier rounding: top-1 identical, scores close
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    np.testing.assert_allclose(got, want, atol=0.05)
 
 
 def test_scorer_handles_non_tile_multiple_batch(tmp_path, audio_batch):

@@ -228,11 +228,19 @@ def make_fused_frontend(
     dft_mode: str = "auto",
     out_dtype=jnp.float32,
     time_major: bool = False,
+    emit_deltas: bool = False,
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
-    B must be a multiple of batch_tile.  Deltas (use_delta) are applied
-    outside the kernel by the caller (frontend.dsp.add_deltas).
+    B must be a multiple of batch_tile.  emit_deltas=True applies the
+    backward-difference deltas (use_delta, data_utils.py:50-58 semantics)
+    INSIDE the kernel — on the frame-major result the time shift is a
+    batch_tile-row shift, so deltas cost one subtract in VMEM and the
+    feature width doubles to 2*n_mfcc.  This keeps delta configs on the
+    time-major / bf16-handoff fast path (an XLA add_deltas between two
+    Pallas kernels would force an f32 (B, T, F) HBM round trip and the
+    sublane transpose back to batch-major).  emit_deltas=False leaves
+    deltas to the caller (frontend.dsp.add_deltas).
 
     time_major emits (T, B, n_mfcc) instead — the kernel's internal
     result is already frame-major, so this layout skips the per-tile
@@ -271,7 +279,7 @@ def make_fused_frontend(
             )
         return _trim_to_contract(
             _make_ct_frontend(p, feature_type, batch_tile, interpret,
-                              fast_math, out_dtype, time_major),
+                              fast_math, out_dtype, time_major, emit_deltas),
             p, time_major,
         )
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
@@ -279,6 +287,7 @@ def make_fused_frontend(
     n_samples = p.max_samples
     n_frames = 1 + (n_samples - window) // hop
     n_mfcc, n_filt = p.n_mfcc, p.n_filt
+    n_feat, n_out = p.n_features, (2 * p.n_mfcc if emit_deltas else p.n_mfcc)
     inv_fft = np.float32(1.0 / p.n_fft)
     dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
 
@@ -300,7 +309,9 @@ def make_fused_frontend(
         coeffs = jnp.dot(mels, dct_ref[:], preferred_element_type=jnp.float32)
         energy = safe_log(jnp.sum(power, -1, keepdims=True))
         out = jnp.concatenate([energy, coeffs[:, 1:n_mfcc]], -1)
-        _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc,
+        if emit_deltas:
+            out = _kernel_deltas(out, batch_tile, n_frames, n_feat)
+        _emit_features(out_ref, out, n_frames, batch_tile, n_out,
                        out_dtype, time_major)
 
     matrices = tuple(jnp.asarray(m) for m in (cos, sin, filt, dct_t))
@@ -333,20 +344,42 @@ def make_fused_frontend(
                 pl.BlockSpec(filt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(dct_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=_feature_out_spec(batch_tile, n_frames, n_mfcc,
+            out_specs=_feature_out_spec(batch_tile, n_frames, n_out,
                                         time_major),
-            out_shape=_feature_out_shape(batch, n_frames, n_mfcc, out_dtype,
+            out_shape=_feature_out_shape(batch, n_frames, n_out, out_dtype,
                                          time_major),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize
-                + batch * n_frames * n_mfcc * jnp.dtype(out_dtype).itemsize,
+                + batch * n_frames * n_out * jnp.dtype(out_dtype).itemsize,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,
         )(gain, audio, *matrices)
 
     return _trim_to_contract(frontend, p, time_major)
+
+
+def _kernel_deltas(out, batch_tile, n_frames, n_features):
+    """Backward-difference deltas on the frame-major (T*TB, F) result.
+
+    prev[t] = out[t-1] is just a batch_tile-row shift on the frame-major
+    layout — one VMEM subtract, no transpose.  The XLA path
+    (frontend/dsp.py Frontend.__call__) trims to the tail n_features
+    frames BEFORE add_deltas, so the first RETAINED frame's delta is
+    zero: reproduce that by zeroing frame t0 = n_frames - n_features
+    (rows before t0 are trimmed away by _trim_to_contract)."""
+    tb = batch_tile
+    prev = jnp.concatenate([out[:tb], out[:-tb]])
+    delta = out - prev  # frame 0: out - out = 0
+    t0 = n_frames - n_features
+    if t0 > 0:
+        delta = jnp.concatenate([
+            delta[: t0 * tb],
+            jnp.zeros_like(delta[:tb]),
+            delta[(t0 + 1) * tb :],
+        ])
+    return jnp.concatenate([out, delta], -1)
 
 
 def _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc, out_dtype,
@@ -431,7 +464,8 @@ def _gain_smem(gain) -> jax.Array:
 
 def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                       interpret: bool, fast_math: bool,
-                      out_dtype=jnp.float32, time_major: bool = False):
+                      out_dtype=jnp.float32, time_major: bool = False,
+                      emit_deltas: bool = False):
     """Two-stage Cooley-Tukey GEMM-DFT variant of the fused frontend.
 
     Replaces the dense (W, bins) DFT matmul pair with:
@@ -484,6 +518,7 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
     n_samples = p.max_samples
     n_frames = 1 + (n_samples - window) // hop
     n_mfcc, n_filt = p.n_mfcc, p.n_filt
+    n_feat, n_out = p.n_features, (2 * p.n_mfcc if emit_deltas else p.n_mfcc)
     dft_dtype = jnp.bfloat16 if fast_math else jnp.float32
 
     nyq_scale = np.float32(1.0 / np.sqrt(p.n_fft))
@@ -605,7 +640,9 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
         out = jnp.concatenate(
             [logs[:, n_filt : n_filt + 1], coeffs[:, 1:n_mfcc]], -1
         )
-        _emit_features(out_ref, out, n_frames, batch_tile, n_mfcc,
+        if emit_deltas:
+            out = _kernel_deltas(out, batch_tile, n_frames, n_feat)
+        _emit_features(out_ref, out, n_frames, batch_tile, n_out,
                        out_dtype, time_major)
 
     e2a_mat = jnp.asarray(ea_pack)
@@ -653,14 +690,14 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                 pl.BlockSpec(dct_t.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=_feature_out_spec(batch_tile, n_frames, n_mfcc,
+            out_specs=_feature_out_spec(batch_tile, n_frames, n_out,
                                         time_major),
-            out_shape=_feature_out_shape(batch, n_frames, n_mfcc, out_dtype,
+            out_shape=_feature_out_shape(batch, n_frames, n_out, out_dtype,
                                          time_major),
             cost_estimate=pl.CostEstimate(
                 flops=flops_tile * grid[0],
                 bytes_accessed=audio.size * audio.dtype.itemsize
-                + batch * n_frames * n_mfcc * jnp.dtype(out_dtype).itemsize,
+                + batch * n_frames * n_out * jnp.dtype(out_dtype).itemsize,
                 transcendentals=batch * n_frames * (n_filt + 1),
             ),
             interpret=interpret,

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..frontend import Frontend
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import batch_shards, batch_spec
 from ..params import ListenerParams
 from .pallas_frontend import _ct_eligible, make_fused_frontend
 
@@ -84,7 +84,7 @@ def select_training_frontend(
     """
     if interpret is None:
         interpret = False
-    n_data = int(mesh.shape.get(DATA_AXIS, 1)) if mesh is not None else 1
+    n_data = batch_shards(mesh)
     reasons = fused_frontend_blockers(
         p, batch_size, n_data, batch_tile, interpret
     )
@@ -110,9 +110,11 @@ def select_training_frontend(
 
         return xla_frontend, "xla"
 
+    # deltas are emitted inside the kernel (one VMEM subtract on the
+    # frame-major result) so use_delta configs keep the fused path
     fused = make_fused_frontend(
         p, feature_type=feature_type, batch_tile=batch_tile,
-        interpret=interpret,
+        interpret=interpret, emit_deltas=p.use_delta,
     )
     if n_data > 1:
         from jax.sharding import PartitionSpec as P
@@ -121,11 +123,13 @@ def select_training_frontend(
 
         # replication check off: Pallas calls don't participate in
         # shard_map's inference (tests/test_pallas_frontend.py:194-218)
+        bspec = batch_spec(mesh)  # 'data', or ('replica','data') on a
+        # hybrid multi-slice mesh — the kernel is collective-free either way
         sharded = shard_map_no_check(
             lambda a, g: fused(a, g),
             mesh=mesh,
-            in_specs=(P(DATA_AXIS), P()),
-            out_specs=P(DATA_AXIS),
+            in_specs=(bspec, P()),
+            out_specs=bspec,
         )
 
         def base(audio, gain=None):
@@ -138,16 +142,6 @@ def select_training_frontend(
     else:
         base = fused
         kind = "pallas"
-
-    if p.use_delta:
-        # the fused kernel leaves deltas to the caller (elementwise along
-        # batch, so it composes with the shard_map'd kernel under jit)
-        from ..frontend.dsp import add_deltas
-
-        inner = base
-
-        def base(audio, gain=None):  # noqa: F811
-            return add_deltas(inner(audio, gain))
 
     if verbose:
         where = f" over {n_data}-device data mesh" if n_data > 1 else ""

@@ -117,8 +117,8 @@ def make_batch_scorer(
     # Serving differs on each of those axes (whole-forward shard_map,
     # trace-time gcd tiles, silent-correct fallbacks recorded in
     # `.paths`), so the policies are kept side by side on the shared
-    # primitives (_ct_eligible / make_fused_frontend / add_deltas) —
-    # update both when eligibility rules change.
+    # primitives (_ct_eligible / make_fused_frontend) — update both when
+    # eligibility rules change.
     # classifier dispatch FIRST: the frontend's bf16 handoff below is
     # derived from the classifier path actually chosen, so the two can
     # never drift apart.
@@ -137,9 +137,9 @@ def make_batch_scorer(
         classifier_kind = "pallas-rnn"
     else:
         classifier_kind = "xla"
-    time_major = bool(
-        classifier_kind != "xla" and _ct_eligible(p) and not p.use_delta
-    )
+    # deltas are emitted INSIDE the frontend kernel (emit_deltas below),
+    # so use_delta configs keep the time-major / bf16 handoff fast path
+    time_major = bool(classifier_kind != "xla" and _ct_eligible(p))
     if classifier_kind == "pallas-megakernel":
         from .ops.pallas_classifier import make_fused_cnn_classifier
 
@@ -189,7 +189,7 @@ def make_batch_scorer(
     # a Pallas kernel and no f32 delta post-processing sits in between.
     handoff_dtype = (
         compute_dtype
-        if paths["classifier"].startswith("pallas") and not p.use_delta
+        if paths["classifier"].startswith("pallas")
         and compute_dtype != jnp.float32
         else jnp.float32
     )
@@ -201,25 +201,18 @@ def make_batch_scorer(
             lambda t: make_fused_frontend(
                 p, feature_type=feature_type, batch_tile=t,
                 interpret=interpret, out_dtype=handoff_dtype,
-                time_major=time_major,
+                time_major=time_major, emit_deltas=p.use_delta,
             ),
             batch_tile,
         )
-        if p.use_delta:
-            from .frontend.dsp import add_deltas
-
-            def frontend(audio, gain=None):
-                return add_deltas(fused(audio, gain))
-
-            paths["frontend"] = "pallas-ct+deltas"
-        else:
-            frontend = fused
-            paths["frontend"] = "pallas-ct" + "".join(
-                tag for cond, tag in (
-                    (handoff_dtype != jnp.float32, "(bf16-handoff)"),
-                    (time_major, "(time-major)"),
-                ) if cond
-            )
+        frontend = fused
+        paths["frontend"] = "pallas-ct" + "".join(
+            tag for cond, tag in (
+                (p.use_delta, "(deltas)"),
+                (handoff_dtype != jnp.float32, "(bf16-handoff)"),
+                (time_major, "(time-major)"),
+            ) if cond
+        )
     else:
         fe = Frontend(p, feature_type=feature_type)
 
@@ -236,24 +229,24 @@ def make_batch_scorer(
         feats = frontend(audio, gain)
         return score_fn(classifier(feats))
 
-    n_data = 1
-    if mesh is not None:
-        from .parallel.mesh import DATA_AXIS
+    from .parallel.mesh import batch_shards
 
-        n_data = int(mesh.shape.get(DATA_AXIS, 1))
+    n_data = batch_shards(mesh)
     if n_data > 1:
         from jax.sharding import PartitionSpec as P
 
-        from .parallel.mesh import DATA_AXIS, shard_map_no_check
+        from .parallel.mesh import batch_spec, shard_map_no_check
 
         # replication check off: Pallas calls don't participate in
         # shard_map's inference; variables ride in as closure constants
-        # (replicated on every device)
+        # (replicated on every device).  batch_spec covers both flat
+        # ('data') and hybrid multi-slice ('replica','data') meshes.
+        bspec = batch_spec(mesh)
         sharded = shard_map_no_check(
             lambda a, g: run(a, g),
             mesh=mesh,
-            in_specs=(P(DATA_AXIS), P()),
-            out_specs=P(DATA_AXIS),
+            in_specs=(bspec, P()),
+            out_specs=bspec,
         )
 
         def run_maybe_sharded(audio, gain=None):
