@@ -116,30 +116,3 @@ def test_stacked_rnn_onnx_export_parity(tmp_path):
     want = np.asarray(score_fn(model.apply(variables, feats, train=False)))
     got = OnnxModel(onnx_path).run({"feature_input": feats})["score_predict"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-
-def test_keras_h5_export_rejects_stacked(tmp_path):
-    import jax
-    import pytest as _pytest
-
-    from tpu_speech_commands.export.keras_interop import export_keras_h5
-    from tpu_speech_commands.models import init_model
-    from tpu_speech_commands.optim import get_optimizer
-    from tpu_speech_commands.params import pr
-    from tpu_speech_commands.training import save_checkpoint
-    from tpu_speech_commands.training.trainer import TrainState
-
-    model, variables = init_model("simple_gru", 4, jax.random.PRNGKey(3),
-                                  num_layers=2)
-    tx = get_optimizer("adam", 1e-3, decay_type=None)
-    state = TrainState.create(apply_fn=model.apply,
-                              params=variables["params"], tx=tx,
-                              batch_stats=None)
-    ckpt = str(tmp_path / "m.npz")
-    save_checkpoint(ckpt, state, {
-        "model_type": "simple_gru", "num_classes": 4,
-        "classes": ["background", "a", "b", "c"], "params": pr.to_dict(),
-        "num_layers": 2,
-    })
-    with _pytest.raises(NotImplementedError, match="stacked"):
-        export_keras_h5(ckpt, str(tmp_path / "m.h5"))
