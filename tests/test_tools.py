@@ -193,6 +193,37 @@ def test_speech_duration_and_vad_clip(tmp_path):
     assert len(os.listdir(out)) >= 1
 
 
+def test_vad_clip_with_learned_model(tmp_path):
+    """--model_path: learned VAD (reference used a Conv-VAD Keras model;
+    here any framework checkpoint scores speech as 1 - P(background)).
+    The shipped pretrained direction model must flag the frame containing
+    a synthesized command word but not the pure-noise frames."""
+    from tpu_speech_commands.data.wav import load_wav, save_audio
+
+    rng = np.random.default_rng(5)
+    word = load_wav(os.path.join(REPO, "example", "left_1.wav"), 16000)
+    audio = np.concatenate([
+        0.002 * rng.standard_normal(32000), word[-16000:],
+        0.002 * rng.standard_normal(32000),
+    ]).astype(np.float32)
+    src = tmp_path / "long.wav"
+    save_audio(str(src), audio)
+
+    out = tmp_path / "clips"
+    run_tool(
+        "vad_clip.py", "--input_path", str(src), "--output_path", str(out),
+        "--model_path",
+        os.path.join(REPO, "pretrained", "direction_simple_gru.npz"),
+    )
+    clips = os.listdir(out)
+    # exactly the word second is voiced: one clip, not the noise frames
+    assert len(clips) >= 1, clips
+    total = sum(
+        len(load_wav(str(out / c), 16000)) for c in clips
+    )
+    assert total <= 2 * 16000, (clips, total)  # noise frames not flagged
+
+
 def test_wav_merge_and_reverb(tmp_path, wav_dir):
     out = tmp_path / "merged"
     run_tool("wav_merge.py", "--voice_path", str(wav_dir / "tone_0.wav"),
