@@ -135,6 +135,7 @@ def main(args):
         log_dir=log_dir,
         use_plateau=args.decay_type is None,
         seed=args.seed,
+        epochs_per_dispatch=args.epochs_per_dispatch,
     )
     # self-describing checkpoints for the inference loader
     trainer_meta = {
@@ -213,6 +214,13 @@ def build_parser():
     parser.add_argument("--resume", action="store_true",
                         help="resume weights from the newest checkpoint in log_dir")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--epochs_per_dispatch", type=int, default=10,
+        help="epochs run per device dispatch on the fit-scan fast path "
+             "(train + val + callbacks device-side; amortizes the "
+             "per-epoch host round-trip). 1 restores per-epoch "
+             "dispatches with a checkpoint file at every improving "
+             "epoch. default=%(default)s")
     return parser
 
 
