@@ -50,6 +50,23 @@ def main():
                              "mean±std per family (seed drives the "
                              "train/val split, init and fit shuffling)")
     parser.add_argument("--work_dir", default="/tmp/accuracy_parity")
+    parser.add_argument("--distribution", default="easy",
+                        choices=["easy", "hard"],
+                        help="synthetic corpus distribution: 'hard' adds "
+                             "variable SNR, weaker off-center utterances "
+                             "and background bursts (a second distribution "
+                             "so the parity claim does not rest on one "
+                             "corpus)")
+    parser.add_argument("--stage", default="all",
+                        choices=["all", "keras", "jax"],
+                        help="split the study: 'keras' trains+saves only "
+                             "the tf.keras side (CPU, long on this box; "
+                             "never initializes a JAX device, so the "
+                             "single-tenant TPU stays free) and records "
+                             "results to a JSON; 'jax' reads that JSON, "
+                             "runs the JAX side (seconds on TPU with the "
+                             "fit scan) + cross-loads, and prints the "
+                             "table")
     parser.add_argument("--jax_platform", default=None,
                         choices=[None, "cpu", "tpu"],
                         help="force the JAX side onto a platform (default: "
@@ -59,6 +76,11 @@ def main():
 
     import jax
 
+    if args.stage == "keras" and args.jax_platform is None:
+        # the keras stage must not claim the single-tenant TPU (feature
+        # extraction is the only jax use; it runs fine on CPU and the
+        # per-wav .npy cache makes repeats free)
+        args.jax_platform = "cpu"
     if args.jax_platform:
         # env var too: enable_compilation_cache re-applies JAX_PLATFORMS
         os.environ["JAX_PLATFORMS"] = args.jax_platform
@@ -80,17 +102,28 @@ def main():
     ))
     # the corpus is generated once with a fixed seed; per-run seeds vary
     # the split/init/shuffling, not the data
+    tag = "" if args.distribution == "easy" else f"_{args.distribution}"
     ds_root = os.path.join(args.work_dir,
-                           f"ds36_{args.samples_per_class}")
+                           f"ds36_{args.samples_per_class}{tag}")
     if not os.path.isdir(os.path.join(ds_root, "sounds")):
         print(f"Building {len(classes)}-class synthetic dataset "
-              f"({args.samples_per_class}/class) ...")
+              f"({args.samples_per_class}/class, {args.distribution}) ...")
         make_synthetic_dataset(ds_root, classes,
                                samples_per_class=args.samples_per_class,
-                               seed=7)
+                               seed=7, hard=args.distribution == "hard")
 
     full = get_dataset(ds_root, classes)
     x, y = np.asarray(full.x, np.float32), np.asarray(full.y, np.int64)
+
+    import json
+
+    stage_json = os.path.join(
+        args.work_dir, f"keras_stage_{args.distribution}_{args.epochs}ep.json"
+    )
+    keras_stage = {}
+    if args.stage == "jax":
+        with open(stage_json) as f:
+            keras_stage = json.load(f)
 
     results = {m: {"keras": [], "jax": [], "cross": []}
                for m in args.model_types}
@@ -105,11 +138,25 @@ def main():
         print(f"\n-- seed {seed}: train {len(x_train)} / val {len(x_val)} "
               f"samples, {len(classes)} classes --")
         for model_type in args.model_types:
-            print(f"[seed {seed}] {model_type}:")
-            keras_acc, h5_path = train_keras(
-                args, model_type, seed, classes, x_train, y_train,
-                x_val, y_val,
-            )
+            print(f"[seed {seed}] {model_type}:", flush=True)
+            if args.stage == "jax":
+                entry = keras_stage[model_type][str(seed)]
+                keras_acc, h5_path = entry["acc"], entry["h5"]
+                print(f"  keras final val_accuracy: {keras_acc:.4f} "
+                      "(from keras stage)")
+            else:
+                keras_acc, h5_path = train_keras(
+                    args, model_type, seed, classes, x_train, y_train,
+                    x_val, y_val,
+                )
+                keras_stage.setdefault(model_type, {})[str(seed)] = {
+                    "acc": keras_acc, "h5": h5_path,
+                }
+                with open(stage_json, "w") as f:  # checkpoint progress
+                    json.dump(keras_stage, f)
+            if args.stage == "keras":
+                results[model_type]["keras"].append(keras_acc)
+                continue
             jax_acc = train_jax(args, model_type, seed, classes,
                                 x_train, y_train, x_val, y_val)
             cross_acc = cross_load_eval(model_type, classes, h5_path,
@@ -117,6 +164,9 @@ def main():
             results[model_type]["keras"].append(keras_acc)
             results[model_type]["jax"].append(jax_acc)
             results[model_type]["cross"].append(cross_acc)
+    if args.stage == "keras":
+        print(f"\nkeras stage complete -> {stage_json}")
+        return
 
     def fmt(vals):
         vals = np.asarray(vals)
