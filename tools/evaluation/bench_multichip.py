@@ -22,6 +22,11 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--devices", type=int, default=None,
                         help="devices on the data axis (default: all)")
+    parser.add_argument("--replicas", type=int, default=None,
+                        help="multi-slice: build a hybrid "
+                             "('replica','data','model') mesh with this "
+                             "many DCN replicas (each of --devices data "
+                             "devices); the batch shards over both axes")
     parser.add_argument("--batch_per_device", type=int, default=2048)
     parser.add_argument("--k_inner", type=int, default=8)
     parser.add_argument("--model_type", default="simple_cnn")
@@ -42,15 +47,20 @@ def main():
     from tpu_speech_commands.frontend import Frontend
     from tpu_speech_commands.models import features_to_input, init_model, score_fn
     from tpu_speech_commands.ops import make_fused_frontend
-    from tpu_speech_commands.parallel import make_mesh, replicated
+    from tpu_speech_commands.parallel import (
+        batch_spec, batch_shards, make_hybrid_mesh, make_mesh, replicated,
+    )
     from tpu_speech_commands.params import pr
     from tpu_speech_commands.utils.compilation_cache import (
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
-    mesh = make_mesh(n_data=args.devices) if args.devices else make_mesh()
-    n_dev = mesh.shape["data"]
+    if args.replicas:
+        mesh = make_hybrid_mesh(n_replica=args.replicas, n_data=args.devices)
+    else:
+        mesh = make_mesh(n_data=args.devices) if args.devices else make_mesh()
+    n_dev = batch_shards(mesh)
     batch = args.batch_per_device * n_dev
 
     # Pallas kernels need per-shard batch alignment; the XLA frontend shards
@@ -73,9 +83,10 @@ def main():
 
         from tpu_speech_commands.parallel import shard_map_no_check
 
+        bspec = batch_spec(mesh)  # ('data',) or ('replica','data')
         frontend = shard_map_no_check(
-            frontend, mesh=mesh, in_specs=(_P("data"), _P()),
-            out_specs=_P("data"),
+            frontend, mesh=mesh, in_specs=(bspec, _P()),
+            out_specs=bspec,
         )
     model, variables = init_model(args.model_type, 5, jax.random.PRNGKey(0))
 
@@ -103,7 +114,7 @@ def main():
     repl = replicated(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    batch_sharding = NamedSharding(mesh, batch_spec(mesh))
     fn = jax.jit(forward_many, in_shardings=(repl, batch_sharding),
                  out_shardings=repl)
 
@@ -125,7 +136,7 @@ def main():
         c = fn(variables, audio)
         _ = float(c)
         best = max(best, args.k_inner * batch / (time.perf_counter() - t0))
-    print(f"mesh data={n_dev}: {best:,.0f} windows/s total, "
+    print(f"mesh {dict(mesh.shape)}: {best:,.0f} windows/s total, "
           f"{best / n_dev:,.0f} windows/s/chip")
 
 
