@@ -118,12 +118,56 @@ def main():
     import json
 
     stage_json = os.path.join(
-        args.work_dir, f"keras_stage_{args.distribution}_{args.epochs}ep.json"
+        args.work_dir,
+        f"keras_stage_{args.distribution}_{args.samples_per_class}spc_"
+        f"{args.epochs}ep.json",
     )
+    # Fingerprint of everything that makes two stage runs comparable: a
+    # stale stage file from a different corpus/recipe must refuse loudly
+    # instead of silently mixing runs (VERDICT r4 item 8).
+    stage_config = {
+        "schema": 1,
+        "distribution": args.distribution,
+        "samples_per_class": args.samples_per_class,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "learning_rate": args.learning_rate,
+        "val_split": args.val_split,
+        "n_classes": len(classes),
+        "n_samples": int(len(x)),
+        "corpus_fingerprint": [float(x.sum()), float(abs(x).sum()),
+                               list(x.shape)],
+    }
     keras_stage = {}
-    if args.stage == "jax":
+    if os.path.isfile(stage_json):
         with open(stage_json) as f:
             keras_stage = json.load(f)
+        found = keras_stage.get("__config__")
+        if found != stage_config:
+            raise SystemExit(
+                f"stage file {stage_json} was produced with a different "
+                f"configuration.\n  recorded: {found}\n  current:  "
+                f"{stage_config}\nDelete the stage file (or match the "
+                "flags it was recorded with) before mixing runs."
+            )
+    elif args.stage == "jax":
+        raise SystemExit(
+            f"--stage jax needs the keras stage file {stage_json}; run "
+            "--stage keras first with the same flags."
+        )
+    keras_stage["__config__"] = stage_config
+
+    def stage_entry(model_type, seed):
+        try:
+            return keras_stage[model_type][str(seed)]
+        except KeyError:
+            raise SystemExit(
+                f"stage file {stage_json} has no entry for model "
+                f"'{model_type}' seed {seed}: the keras stage was run "
+                "with different --model_type/--seed values. Re-run "
+                "--stage keras with the missing combination (it resumes; "
+                "existing entries are kept)."
+            ) from None
 
     results = {m: {"keras": [], "jax": [], "cross": []}
                for m in args.model_types}
@@ -140,10 +184,17 @@ def main():
         for model_type in args.model_types:
             print(f"[seed {seed}] {model_type}:", flush=True)
             if args.stage == "jax":
-                entry = keras_stage[model_type][str(seed)]
+                entry = stage_entry(model_type, seed)
                 keras_acc, h5_path = entry["acc"], entry["h5"]
                 print(f"  keras final val_accuracy: {keras_acc:.4f} "
                       "(from keras stage)")
+            elif (str(seed) in keras_stage.get(model_type, {})
+                  and os.path.isfile(
+                      keras_stage[model_type][str(seed)]["h5"])):
+                entry = keras_stage[model_type][str(seed)]
+                keras_acc, h5_path = entry["acc"], entry["h5"]
+                print(f"  keras final val_accuracy: {keras_acc:.4f} "
+                      "(resumed from stage file)")
             else:
                 keras_acc, h5_path = train_keras(
                     args, model_type, seed, classes, x_train, y_train,
@@ -210,8 +261,12 @@ def train_keras(args, model_type, seed, classes, x_train, y_train,
         validation_data=(xv, y_val), shuffle=True, verbose=0,
     )
     acc = float(hist.history["val_accuracy"][-1])
-    h5_path = os.path.join(args.work_dir,
-                           f"keras_{model_type}_s{seed}.h5")
+    # distribution/epochs in the name: the easy and hard studies must not
+    # overwrite each other's weights (the cross-load column reads these)
+    h5_path = os.path.join(
+        args.work_dir,
+        f"keras_{model_type}_{args.distribution}_{args.epochs}ep_s{seed}.h5",
+    )
     model.save(h5_path)
     print(f"  keras final val_accuracy: {acc:.4f}")
     return acc, h5_path
