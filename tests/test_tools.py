@@ -90,6 +90,172 @@ def test_audio_convert_preserves_subdirs(tmp_path):
     assert (out / "cat" / "0a7c2a8d_nohash_0.wav").exists()
 
 
+@pytest.fixture()
+def ramp_wav(tmp_path):
+    """16 kHz mono ramp written as exact int16 samples (no float encode
+    step), so conversions can be checked against a known grid."""
+    import wave
+
+    q = np.linspace(-30000, 30000, 16000).astype("<i2")
+    path = tmp_path / "ramp.wav"
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(q.tobytes())
+    return path, q.astype(np.float32) / 32768.0
+
+
+# 8-bit: encode *127, decode /128 (the unsigned-wav convention) plus
+# truncation -> worst case ~|x|/128 + 1/128
+@pytest.mark.parametrize("bits,tol", [(8, 2 / 128 + 1e-6),
+                                      (24, 3e-7), (32, 1e-6)])
+def test_audio_convert_bit_depths_round_trip(tmp_path, ramp_wav, bits, tol):
+    """--sample_bit 8/24/32 encode, decoded back by the independent
+    load_wav codec (shift-based 24-bit decode vs the tool's view-slice
+    encode), must reproduce the source to the bit depth's quantization."""
+    import wave
+
+    path, src = ramp_wav
+    out = tmp_path / f"b{bits}"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(out), "--sample_bit", str(bits))
+    from tpu_speech_commands.data.wav import load_wav
+
+    with wave.open(str(out / "ramp.wav"), "rb") as wf:
+        assert wf.getsampwidth() == bits // 8
+        assert wf.getframerate() == 16000
+    got = load_wav(str(out / "ramp.wav"), 16000)
+    assert np.abs(got - src).max() <= tol
+
+
+def test_audio_convert_24bit_exact_bytes(tmp_path):
+    """Little-endian 24-bit packing pinned on exactly-representable
+    values: ±1.0/0.5/0.25/0 map to the hand-computed 3-byte patterns
+    (sign extension + byte order are exactly the silent-failure spots)."""
+    import wave
+
+    q = np.array([-32768, 16384, 8192, 0], "<i2")  # -1.0, 0.5, 0.25, 0
+    path = tmp_path / "pts.wav"
+    with wave.open(str(path), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(q.tobytes())
+    out = tmp_path / "out24"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(out), "--sample_bit", "24")
+    with wave.open(str(out / "pts.wav"), "rb") as wf:
+        raw = wf.readframes(wf.getnframes())
+    # int(x * (2**23 - 1)) truncated toward zero, little-endian
+    assert raw == bytes([0x01, 0x00, 0x80,   # -8388607
+                         0xFF, 0xFF, 0x3F,   # 4194303
+                         0xFF, 0xFF, 0x1F,   # 2097151
+                         0x00, 0x00, 0x00])
+
+
+def test_audio_convert_loudness(tmp_path, ramp_wav):
+    path, _ = ramp_wav
+    out = tmp_path / "loud"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(out), "--loudness", "-20")
+    from tpu_speech_commands.data.wav import load_wav
+
+    got = load_wav(str(out / "ramp.wav"), 16000)
+    dbfs = 20 * np.log10(np.sqrt((got ** 2).mean()))
+    assert abs(dbfs - (-20.0)) < 0.05
+
+
+def test_audio_convert_clip_length(tmp_path, ramp_wav):
+    """clip_length: tail-clip when long, head-pad with silence when
+    short (the command sits at the buffer tail — pad_audio semantics)."""
+    path, src = ramp_wav
+    from tpu_speech_commands.data.wav import load_wav
+
+    short = tmp_path / "clip500"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(short), "--clip_length", "500")
+    got = load_wav(str(short / "ramp.wav"), 16000)
+    assert len(got) == 8000
+    assert np.abs(got - src[-8000:]).max() <= 2 / 32768  # the LAST 500 ms
+
+    longer = tmp_path / "clip1500"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(longer), "--clip_length", "1500")
+    got = load_wav(str(longer / "ramp.wav"), 16000)
+    assert len(got) == 24000
+    assert np.abs(got[:8000]).max() == 0  # head-padded with silence
+    assert np.abs(got[8000:] - src).max() <= 2 / 32768
+
+
+def test_audio_convert_white_noise_pad_scale(tmp_path, ramp_wav):
+    """--fill_white_noise uses the reference's bit-fraction convention
+    (audio_convert.py:46-53): scale = 2**int(sample_bit*amplitude)
+    counts — 2**11/32768 ≈ 0.0625 at 16-bit/0.7, NOT amplitude*full
+    scale (which would be 11x larger)."""
+    path, src = ramp_wav
+    out = tmp_path / "noisy"
+    run_tool("audio_convert.py", "--input_path", str(path),
+             "--output_path", str(out), "--clip_length", "1500",
+             "--fill_white_noise", "--seed", "3")
+    from tpu_speech_commands.data.wav import load_wav
+
+    got = load_wav(str(out / "ramp.wav"), 16000)
+    pad = got[:8000]
+    scale = 2 ** 11 / 32768.0  # truncnorm support is [-scale, scale]
+    assert 0 < np.abs(pad).max() <= scale + 1 / 32768
+    assert 0.3 * scale < pad.std() < 0.8 * scale  # std(truncnorm(-1,1)) ~ 0.54
+    assert np.abs(got[8000:] - src).max() <= 2 / 32768
+
+
+def test_audio_convert_raw_pcm(tmp_path, ramp_wav):
+    """Headerless .pcm decode: direct file path AND inside a directory
+    (globbed alongside *.wav); missing decode params refuse clearly."""
+    _, src = ramp_wav
+    from tpu_speech_commands.data.wav import load_wav
+
+    indir = tmp_path / "rawin" / "sub"
+    indir.mkdir(parents=True)
+    pcm = indir / "tail.pcm"
+    pcm.write_bytes((src[-4000:] * 32768).astype("<i2").tobytes())
+
+    direct = tmp_path / "direct"
+    run_tool("audio_convert.py", "--input_path", str(pcm),
+             "--output_path", str(direct), "--sample_rate", "16000",
+             "--channel_num", "1")
+    got = load_wav(str(direct / "tail.wav"), 16000)
+    assert np.abs(got - src[-4000:]).max() <= 2 / 32768
+
+    tree = tmp_path / "tree"
+    run_tool("audio_convert.py", "--input_path", str(tmp_path / "rawin"),
+             "--output_path", str(tree), "--sample_rate", "16000",
+             "--channel_num", "1")
+    assert (tree / "sub" / "tail.wav").exists()
+
+    with pytest.raises(subprocess.CalledProcessError) as err:
+        run_tool("audio_convert.py", "--input_path", str(tmp_path / "rawin"),
+                 "--output_path", str(tmp_path / "nope"))
+    assert "--sample_rate and --channel_num" in err.value.stderr
+
+
+def test_audio_convert_mp3_gate(tmp_path, ramp_wav):
+    """--target_format mp3 needs ffmpeg: converts when present, refuses
+    with an actionable message when not."""
+    import shutil
+
+    path, _ = ramp_wav
+    out = tmp_path / "mp3"
+    if shutil.which("ffmpeg"):
+        run_tool("audio_convert.py", "--input_path", str(path),
+                 "--output_path", str(out), "--target_format", "mp3")
+        assert (out / "ramp.mp3").stat().st_size > 0
+    else:
+        with pytest.raises(subprocess.CalledProcessError) as err:
+            run_tool("audio_convert.py", "--input_path", str(path),
+                     "--output_path", str(out), "--target_format", "mp3")
+        assert "ffmpeg" in err.value.stderr
+
+
 def test_background_corpus_prepare_script(tmp_path, wav_dir):
     """The generalized dataset_prepare.sh (wav-only source, no ffmpeg in
     this image): converts + splits into <out>/sounds/background 1 s clips."""

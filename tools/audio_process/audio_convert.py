@@ -25,6 +25,7 @@ import os
 import shutil
 import subprocess
 import wave
+from glob import glob
 
 import numpy as np
 
@@ -166,6 +167,21 @@ def main():
     else:
         for wav_file in iter_wavs(args.input_path):
             convert_one(wav_file, args, rng)
+        if os.path.isdir(args.input_path):
+            # raw PCM inside a directory too (needs the decode params;
+            # iter_wavs only globs *.wav)
+            raw = sorted(
+                p for ext in ("pcm", "raw")
+                for p in glob(os.path.join(args.input_path, "**",
+                                           f"*.{ext}"), recursive=True)
+            )
+            if raw and not (args.sample_rate and args.channel_num):
+                raise SystemExit(
+                    f"{len(raw)} .pcm/.raw files in {args.input_path} need "
+                    "--sample_rate and --channel_num to decode"
+                )
+            for raw_file in raw:
+                convert_one(raw_file, args, rng)
 
 
 if __name__ == "__main__":
