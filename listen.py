@@ -28,6 +28,10 @@ def build_parser():
                         choices=["mfcc", "bark"],
                         help="default: the checkpoint's stored frontend "
                              "(mfcc for external formats)")
+    parser.add_argument("--chime_path", type=str, default=None,
+                        help="activation chime wav (mic mode); default "
+                             "assets/activate.wav, alternative "
+                             "assets/wozai.wav")
     parser.add_argument("--dump_model", default=False, action="store_true",
                         help="dump training model to inference checkpoint")
     parser.add_argument("--output_model_file", type=str, default=None)

@@ -347,6 +347,57 @@ def test_listener_wav_replay(tmp_path, capsys):
     assert capsys.readouterr().out == out
 
 
+def test_listener_chime_selection(monkeypatch):
+    """Both shipped chime assets are valid 16 kHz mono wavs and
+    play_activate_audio honors chime_path (reference ships
+    assets/{activate,wozai}.wav, listen.py:294-297)."""
+    import sys
+    import types
+
+    from tpu_speech_commands.data.wav import wav_duration_samples
+    from tpu_speech_commands.streaming import Listener
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    chimes = {}
+    for name in ("activate.wav", "wozai.wav"):
+        path = os.path.join(repo, "assets", name)
+        n, rate = wav_duration_samples(path)
+        assert rate == 16000 and n > 1000
+        chimes[name] = path
+
+    played = []
+
+    class _FakeStream:
+        def write(self, data):
+            played.append(len(data))
+
+        def stop_stream(self):
+            pass
+
+        def close(self):
+            pass
+
+    class _FakePyAudio:
+        def open(self, **kwargs):
+            played.append(("rate", kwargs["rate"]))
+            return _FakeStream()
+
+        def get_format_from_width(self, w):
+            return w
+
+        def terminate(self):
+            pass
+
+    fake = types.ModuleType("pyaudio")
+    fake.PyAudio = _FakePyAudio
+    monkeypatch.setitem(sys.modules, "pyaudio", fake)
+
+    listener = Listener.__new__(Listener)  # no model needed for the chime
+    listener.chime_path = chimes["wozai.wav"]
+    listener.play_activate_audio()
+    assert played and played[0] == ("rate", 16000) and len(played) > 1
+
+
 def test_listener_int16_chunk_matches_bytes(tmp_path):
     """process_chunk must decode int16 ndarrays like bytes input (/32768)
     — an unscaled int16 array would produce garbage features silently."""

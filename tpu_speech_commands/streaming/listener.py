@@ -45,6 +45,9 @@ default_config = {
     "input_wav": None,
     # None = take the checkpoint's stored feature_type (mfcc fallback)
     "feature_type": None,
+    # activation chime wav; None = assets/activate.wav (assets/wozai.wav
+    # is the shipped alternative, mirroring the reference's asset pair)
+    "chime_path": None,
 }
 
 
@@ -201,7 +204,7 @@ class Listener:
     def play_activate_audio(self, wav_path: str | None = None):
         """Play the activation chime (mic mode; listen.py:294-297,311-339).
         No-op with a notice when PyAudio is unavailable."""
-        wav_path = wav_path or os.path.join(
+        wav_path = wav_path or self.chime_path or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             "assets", "activate.wav",
         )
