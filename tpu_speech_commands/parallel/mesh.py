@@ -86,6 +86,18 @@ def make_hybrid_mesh(
         )
     slice_ids = {getattr(d, "slice_index", None) for d in devices}
     if len(slice_ids) > 1 and None not in slice_ids:
+        if n_replica * n_data * n_model != len(devices):
+            # create_hybrid_device_mesh requires the shape to cover the
+            # device list exactly; a silent prefix would break the
+            # slice-boundary assignment. Under-provisioned shapes must
+            # pass an explicit device subset instead.
+            raise ValueError(
+                f"hybrid mesh {n_replica}x{n_data}x{n_model} uses "
+                f"{n_replica * n_data * n_model} of {len(devices)} "
+                "multi-slice devices; pass devices= with exactly the "
+                "devices to use (slice-aware assignment cannot pick a "
+                "prefix)"
+            )
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
