@@ -229,6 +229,7 @@ def make_fused_frontend(
     out_dtype=jnp.float32,
     time_major: bool = False,
     emit_deltas: bool = False,
+    power_path: str = "groupmm",
 ):
     """Build the fused (B, max_samples) -> (B, T, n_mfcc) frontend.
 
@@ -279,7 +280,8 @@ def make_fused_frontend(
             )
         return _trim_to_contract(
             _make_ct_frontend(p, feature_type, batch_tile, interpret,
-                              fast_math, out_dtype, time_major, emit_deltas),
+                              fast_math, out_dtype, time_major, emit_deltas,
+                              power_path),
             p, time_major,
         )
     cos, sin, filt, dct_t = _padded_matrices(_params_key(p), feature_type)
@@ -465,7 +467,8 @@ def _gain_smem(gain) -> jax.Array:
 def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
                       interpret: bool, fast_math: bool,
                       out_dtype=jnp.float32, time_major: bool = False,
-                      emit_deltas: bool = False):
+                      emit_deltas: bool = False,
+                      power_path: str = "groupmm"):
     """Two-stage Cooley-Tukey GEMM-DFT variant of the fused frontend.
 
     Replaces the dense (W, bins) DFT matmul pair with:
@@ -502,14 +505,54 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
     # (residue sr, a-columns, b-columns or None, residues covered);
     # all a/b blocks ride in two lane-packed operands with static
     # column offsets.
-    groups = [(0, e2a[0], None, [0]), (half, e2a[half], None, [half])]
-    for s in range(1, half):
-        groups.append((
-            s,
-            np.concatenate([e2a[s], e2a[n2 - s]], axis=1),
-            np.concatenate([e2b[s], -e2b[n2 - s]], axis=1),
-            [s, n2 - s],
-        ))
+    #
+    # power_path selects the power fold/concat layout (the round-5 VPU
+    # shrink A/B, tools/dev/r5_vpu_shrink.py):
+    #   'concat'  — production: per-residue 64-lane folds, one 8-piece
+    #               power concat, one (M, n_fft/2) filterbank matmul
+    #   'reorder' — pair E columns as [Xr_s|Xr_t|Xi_s|Xi_t] so the fold
+    #               is ONE native-width add per pair and the power concat
+    #               joins 5 wide blocks instead of 8 narrow ones
+    #   'groupmm' — reorder + per-group filterbank matmul accumulate:
+    #               the power concat disappears entirely (the filterbank
+    #               rows are sliced per group instead)
+    if power_path not in ("concat", "reorder", "groupmm"):
+        raise ValueError(f"unknown power_path: {power_path}")
+    if power_path == "concat":
+        groups = [(0, e2a[0], None, [0]), (half, e2a[half], None, [half])]
+        for s in range(1, half):
+            groups.append((
+                s,
+                np.concatenate([e2a[s], e2a[n2 - s]], axis=1),
+                np.concatenate([e2b[s], -e2b[n2 - s]], axis=1),
+                [s, n2 - s],
+            ))
+        filt_rows = filt_half
+        row_offsets = None
+    else:
+        # pairs first (their folds emit native 128-lane blocks), singles
+        # last; E columns reordered to [Xr_s|Xr_t|Xi_s|Xi_t] so
+        # fold = sq[:, :w/2] + sq[:, w/2:] pairs Xr^2 with Xi^2 per lane
+        groups = []
+        for s in range(1, half):
+            t = n2 - s
+            er_s, ei_s = e2a[s, :, :CT_J], e2a[s, :, CT_J:]
+            er_t, ei_t = e2a[t, :, :CT_J], e2a[t, :, CT_J:]
+            a_mat = np.concatenate([er_s, er_t, ei_s, ei_t], axis=1)
+            # X_s = T_r@[Er_s|Ei_s] + T_i@[-Ei_s|Er_s];
+            # X_t (conjugate residue) flips the T_i sign
+            b_mat = np.concatenate([-ei_s, ei_t, er_s, -er_t], axis=1)
+            groups.append((s, a_mat, b_mat, [s, t]))
+        groups.append((0, e2a[0], None, [0]))
+        groups.append((half, e2a[half], None, [half]))
+        # filterbank rows permuted to the fold output order
+        filt_rows = np.concatenate([
+            np.concatenate([filt_half[s * CT_J:(s + 1) * CT_J]
+                            for s in g[3]])
+            for g in groups
+        ])
+        row_offsets = np.cumsum(
+            [0] + [len(g[3]) * CT_J for g in groups]).tolist()
     ea_pack = np.concatenate([g[1] for g in groups], axis=1)
     eb_blocks = [g[2] for g in groups if g[2] is not None]
     eb_pack = (np.concatenate(eb_blocks, axis=1) if eb_blocks
@@ -608,32 +651,56 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
             return jnp.dot(x, e.astype(dft_dtype),
                            preferred_element_type=jnp.float32)
 
-        piece_by_s = {}
         a_off = b_off = 0
-        for sr, a_mat, b_mat, residues in groups:
-            w = a_mat.shape[1]
-            xri = mm(t_re[sr], ea_ref[:, a_off:a_off + w])
-            a_off += w
-            if b_mat is not None:  # pair: [Xr_s|Xi_s|Xr_{n2-s}|Xi_{n2-s}]
-                xri = xri + mm(t_im[sr], eb_ref[:, b_off:b_off + w])
-                b_off += w
-            sq = xri * xri
-            for gi, s in enumerate(residues):
-                part = sq[:, gi * LANES:(gi + 1) * LANES]
-                piece_by_s[s] = part[:, :CT_J] + part[:, CT_J:]  # |X|^2
-        power = jnp.concatenate(
-            [piece_by_s[s] for s in range(n2)], axis=-1
-        )  # (M, n_fft/2) in residue order, matching filt_half's rows
+        if power_path == "concat":
+            piece_by_s = {}
+            for sr, a_mat, b_mat, residues in groups:
+                w = a_mat.shape[1]
+                xri = mm(t_re[sr], ea_ref[:, a_off:a_off + w])
+                a_off += w
+                if b_mat is not None:  # pair: [Xr_s|Xi_s|Xr_t|Xi_t]
+                    xri = xri + mm(t_im[sr], eb_ref[:, b_off:b_off + w])
+                    b_off += w
+                sq = xri * xri
+                for gi, s in enumerate(residues):
+                    part = sq[:, gi * LANES:(gi + 1) * LANES]
+                    piece_by_s[s] = part[:, :CT_J] + part[:, CT_J:]  # |X|^2
+            power = jnp.concatenate(
+                [piece_by_s[s] for s in range(n2)], axis=-1
+            )  # (M, n_fft/2) in residue order, matching filt_half's rows
+            mel_blocks = [(power, 0, n2 * CT_J)]
+        else:
+            # reordered pairs emit [Xr_s|Xr_t|Xi_s|Xi_t]: the fold is ONE
+            # top-half + bottom-half add per group and its output block is
+            # already lane-packed in filt_rows' row order
+            blocks = []
+            for sr, a_mat, b_mat, residues in groups:
+                w = a_mat.shape[1]
+                xri = mm(t_re[sr], ea_ref[:, a_off:a_off + w])
+                a_off += w
+                if b_mat is not None:
+                    xri = xri + mm(t_im[sr], eb_ref[:, b_off:b_off + w])
+                    b_off += w
+                sq = xri * xri
+                blocks.append(sq[:, : w // 2] + sq[:, w // 2 :])
+            if power_path == "reorder":
+                power = jnp.concatenate(blocks, axis=-1)
+                mel_blocks = [(power, 0, n2 * CT_J)]
+            else:  # groupmm: no power concat at all
+                mel_blocks = [
+                    (blk, r0, r1) for blk, r0, r1 in
+                    zip(blocks, row_offsets[:-1], row_offsets[1:])
+                ]
 
         # Nyquist bin: X[n_fft/2] = sum_b (-1)^b T[0, b]  (real)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         alt = (1 - 2 * (iota % 2)).astype(jnp.float32) * nyq_scale
         xnyq = jnp.sum(t_re[0].astype(jnp.float32) * alt, -1, keepdims=True)
 
-        mels_e = (
-            jnp.dot(power, filt_ref[:], preferred_element_type=jnp.float32)
-            + (xnyq * xnyq) * fnyq_ref[:]
-        )
+        mels_e = (xnyq * xnyq) * fnyq_ref[:]
+        for blk, r0, r1 in mel_blocks:
+            mels_e = mels_e + jnp.dot(blk, filt_ref[r0:r1],
+                                      preferred_element_type=jnp.float32)
         logs = safe_log(mels_e)
         coeffs = jnp.dot(logs[:, :n_filt], dct_ref[:],
                          preferred_element_type=jnp.float32)
@@ -647,7 +714,7 @@ def _make_ct_frontend(p: ListenerParams, feature_type: str, batch_tile: int,
 
     e2a_mat = jnp.asarray(ea_pack)
     e2b_mat = jnp.asarray(eb_pack)
-    filt_mat = jnp.asarray(filt_half)
+    filt_mat = jnp.asarray(filt_rows)
     fnyq_mat = jnp.asarray(filt_nyq)
     dct_mat = jnp.asarray(dct_t)
 
