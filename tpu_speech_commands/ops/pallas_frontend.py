@@ -267,6 +267,12 @@ def make_fused_frontend(
     dft_mode: 'dense' = one big (W, bins) DFT matmul pair; 'ct' = two-stage
     Cooley-Tukey GEMM DFT (~2.9x fewer MXU cycles, needs n_fft = n2*128 and
     window == n_fft); 'auto' picks 'ct' when eligible.
+
+    power_path ('ct' only): layout of the |X|^2 fold between stage 2 and
+    the filterbank — 'groupmm' (default; zero-concat, native-width folds,
+    per-group filterbank matmuls, +7.6% over 'concat' in the round-5
+    A/B), 'reorder', 'concat' (kept for tools/dev/r5_vpu_shrink.py).
+    All three are the same math to float32 accuracy.
     """
     p = params or pr
     if dft_mode == "auto":

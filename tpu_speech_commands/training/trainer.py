@@ -766,6 +766,10 @@ class Trainer:
             dt = time.time() - t0
             ran = int(host[:, 7].sum())
             self._host_step += ran * n_b
+            # NOTE: the first chunk's dt includes the K-epoch jit compile,
+            # smeared evenly over its epochs — logged/CSV 'seconds' for
+            # epochs 1..K are inflated by compile time (benchmarks drop
+            # the first chunk; bench_train.bench_fit does)
             per_epoch_s = dt / max(ran, 1)
             # scalar callback outcomes (fetched before cb is donated into
             # the next chunk)
