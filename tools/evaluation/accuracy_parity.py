@@ -111,6 +111,13 @@ def main():
         make_synthetic_dataset(ds_root, classes,
                                samples_per_class=args.samples_per_class,
                                seed=7, hard=args.distribution == "hard")
+        # Extract + write the per-sample feature cache, then fall through
+        # to the cache READ below and discard this result: the
+        # fresh-extraction sample order (sound-file order) is a different
+        # permutation than the uuid-sorted cache order every later process
+        # sees, so the per-seed train/val splits — and the stage
+        # fingerprint — must always be computed on the stable cache order.
+        get_dataset(ds_root, classes)
 
     full = get_dataset(ds_root, classes)
     x, y = np.asarray(full.x, np.float32), np.asarray(full.y, np.int64)
