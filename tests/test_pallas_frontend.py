@@ -379,3 +379,38 @@ def test_time_major_trim_contract():
     got = np.asarray(tm(a))
     assert got.shape == (p.n_features, 4, p.n_mfcc)
     np.testing.assert_array_equal(got.transpose(1, 0, 2), np.asarray(bm(a)))
+
+
+@pytest.mark.parametrize("power_path", ["concat", "reorder", "groupmm"])
+def test_power_path_variants_match(audio_batch, power_path):
+    """The three |X|^2 power-fold layouts (round-5 'groupmm' default, the
+    'reorder' intermediate, and the original 'concat') are the same math —
+    different only in lane layout and matmul grouping — so their MFCC
+    output must agree to float32 round-off, on both mel and bark."""
+    p = ListenerParams()
+    a = jnp.asarray(audio_batch)
+    base = make_fused_frontend(p, batch_tile=4, interpret=True,
+                               dft_mode="ct", power_path="concat")
+    alt = make_fused_frontend(p, batch_tile=4, interpret=True,
+                              dft_mode="ct", power_path=power_path)
+    np.testing.assert_allclose(np.asarray(alt(a)), np.asarray(base(a)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_power_path_groupmm_bark(audio_batch):
+    p = ListenerParams()
+    a = jnp.asarray(audio_batch)
+    base = make_fused_frontend(p, feature_type="bark", batch_tile=8,
+                               interpret=True, dft_mode="ct",
+                               power_path="concat")
+    alt = make_fused_frontend(p, feature_type="bark", batch_tile=8,
+                              interpret=True, dft_mode="ct",
+                              power_path="groupmm")
+    np.testing.assert_allclose(np.asarray(alt(a)), np.asarray(base(a)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_power_path_rejects_unknown():
+    with pytest.raises(ValueError, match="power_path"):
+        make_fused_frontend(ListenerParams(), batch_tile=4, interpret=True,
+                            dft_mode="ct", power_path="nope")
